@@ -1,0 +1,96 @@
+"""End-to-end extraction plan.
+
+    documents(doc_id, spans[]) ──explode──▶ line tokens (native)
+        ──noise prefilter (native, pushed below the UDF barrier)──▶
+        groupBy(doc_id).applyInPandas(segment_kernel) ──▶ raw questions
+        ──finalize (native HOFs)──▶ questions
+        ──flatten (native)──▶ canonical output spans
+
+Stage placement mirrors the reference's hand-fusion (SURVEY.md §4): the
+always-ignore noise filter (state_machine.py:200-202) and empty-line
+drop (:95,182,196-198) run as Column predicates *before* the grouped
+kernel, so Catalyst prunes columns and the Arrow transfer ships only
+surviving lines. Cover-page noise is state-dependent and stays in the
+kernel.
+
+Scale notes (100 TB / 10^12 docs):
+- the only shuffle is the hash partition by ``doc_id`` feeding the
+  grouped kernel; it is also the skew point — see ``repartition_hint``
+  and operators/native.py's segment-level alternative;
+- tokenization is explode + split: narrow, no shuffle, whole-stage
+  codegen;
+- finalize/flatten are per-row expressions: no shuffle after the kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schema
+from ..functions import anchors as A
+from ..operators import finalize as _finalize
+from ..operators import flatten as _flatten
+from ..operators.kernel import segment_kernel
+
+
+def tokenize(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans[]) → LINE-schema rows (native only).
+
+    Text spans are split on newlines (posexplode keeps intra-block
+    order), trimmed, empty lines dropped, and always-ignored noise
+    filtered JVM-side. Image spans pass through untouched.
+    """
+    has_page = "page" in documents.schema["spans"].dataType.elementType.names
+    s = F.explode("spans").alias("s")
+    base = documents.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+        (F.col("s.page") if has_page else F.lit(1)).cast("int").alias("page"),
+    )
+
+    text_lines = (
+        base.where(F.col("kind") == "text")
+        .select(
+            "doc_id",
+            "kind",
+            F.posexplode(F.split("text", "\n")).alias("line_no", "line"),
+            "media_ref",
+            "offset",
+            "page",
+        )
+        .withColumn("text", F.trim("line"))
+        .drop("line")
+        .where(F.col("text") != "")
+        # F2 noise pushdown: always-ignored boilerplate never reaches
+        # the kernel (state-independent by definition)
+        .where(~F.col("text").rlike(A.J_NOISE_CI) & ~F.col("text").rlike(A.J_NOISE_CS))
+    )
+    images = base.where(F.col("kind") == "image").select(
+        "doc_id", "kind", F.lit(0).alias("line_no"), "media_ref", "offset", "page",
+    ).withColumn("text", F.lit(""))
+
+    cols = ["doc_id", "kind", "text", "media_ref", "offset", "line_no", "page"]
+    return text_lines.select(cols).unionByName(images.select(cols))
+
+
+def parse_raw(documents: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
+    """documents → raw question rows (pre-finalize)."""
+    lines = tokenize(documents)
+    grouped = lines.repartition(shuffle_partitions, "doc_id") if shuffle_partitions else lines
+    return grouped.groupBy("doc_id").applyInPandas(
+        segment_kernel, schema=schema.QUESTION_RAW
+    )
+
+
+def extract_questions(documents: DataFrame, **kw) -> DataFrame:
+    """documents → finalized question table (the flagship operator)."""
+    return _finalize.finalize_questions(parse_raw(documents, **kw))
+
+
+def extract_flat_spans(documents: DataFrame, **kw) -> DataFrame:
+    """documents → canonical ordered output spans (§1.4 contract)."""
+    return _flatten.flat_spans(extract_questions(documents, **kw))

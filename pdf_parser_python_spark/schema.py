@@ -1,0 +1,133 @@
+"""Fixed StructType schemas used end-to-end.
+
+The reference validates shapes with pydantic models
+(/root/reference/parser/models.py); here the same contracts are Spark
+schemas so every stage is Arrow/Catalyst-typed with no Python objects
+on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ── input side ────────────────────────────────────────────────────────────
+
+#: One interleaved content span (reference ContentBlock, models.py:67-90,
+#: minus layout fields which are never structure-driving).
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # "text" | "image"
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+
+#: The BASELINE.json input_hint table: one row per document.
+DOCUMENT_SPANS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN), False),
+    ]
+)
+
+#: Extended span used by tests/raw extraction — adds page metadata
+#: (reference ContentBlock.page_number). ``page`` defaults to 1 when the
+#: source table has no layout info.
+SPAN_EXT = T.StructType(
+    SPAN.fields + [T.StructField("page", T.IntegerType(), True)]
+)
+
+DOCUMENT_SPANS_EXT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(SPAN_EXT), False),
+    ]
+)
+
+# ── exploded, line-level working schema ──────────────────────────────────
+
+#: After explode(spans) + line tokenization: one row per text LINE or per
+#: image. ``line_no`` preserves intra-block order (reference splits block
+#: content on '\n': state_machine.py:193-198).
+LINE = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("line_no", T.IntegerType(), False),
+        T.StructField("page", T.IntegerType(), True),
+    ]
+)
+
+# ── parsed question (kernel output, pre-finalize) ────────────────────────
+
+OPTION = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("is_correct", T.BooleanType(), False),
+        T.StructField("images", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+#: Raw parsed question emitted by the segmentation kernel — before the
+#: native finalize stage (ghost-option filter, explanation scrub, answer
+#: marking, anomaly stamping). Mirrors reference ParsedQuestion
+#: (models.py:135-191) minus computed fields.
+QUESTION_RAW = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),  # order within doc
+        T.StructField("question_number", T.IntegerType(), False),
+        T.StructField("question_type", T.StringType(), False),  # mcq|hotspot
+        T.StructField("question_text", T.StringType(), False),
+        T.StructField("question_images", T.ArrayType(T.StringType()), False),
+        T.StructField("options", T.ArrayType(OPTION), False),
+        T.StructField("answer_text", T.StringType(), False),
+        T.StructField("answer_images", T.ArrayType(T.StringType()), False),
+        T.StructField("explanation_text", T.StringType(), False),
+        T.StructField("explanation_images", T.ArrayType(T.StringType()), False),
+        T.StructField("page_start", T.IntegerType(), False),
+        T.StructField("page_end", T.IntegerType(), False),
+        T.StructField("parse_failed", T.BooleanType(), False),
+    ]
+)
+
+ANOMALY = T.StructType(
+    [
+        T.StructField("type", T.StringType(), False),
+        T.StructField("severity", T.IntegerType(), False),
+        T.StructField("message", T.StringType(), False),
+    ]
+)
+
+#: Canonical flattened output span (the correctness contract, §1.4 of
+#: SURVEY.md; reference crud.py:633-726 `_question_to_blocks`).
+FLAT_SPAN = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("question_number", T.IntegerType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+# ── lineage / metrics (checkpoint-resume contract) ───────────────────────
+
+LINEAGE = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),  # done|failed
+        T.StructField("docs_parsed", T.LongType(), False),
+        T.StructField("spans_emitted", T.LongType(), False),
+        T.StructField("questions_emitted", T.LongType(), False),
+        T.StructField("parse_failures", T.LongType(), False),
+        T.StructField("wall_sec", T.DoubleType(), False),
+    ]
+)

@@ -1,0 +1,101 @@
+"""Golden-fixture oracle: the 8 reference snapshot dirs must reproduce
+span-for-span through the Spark engine (SURVEY.md §5.2, BASELINE.json
+correctness contract).
+
+The oracle is the LIVE reference FSM run in-process on the same spans
+(not the checked-in ``_parsed.json`` snapshots): 7 of 8 snapshots are
+byte-identical to live output, but ``test_soa_v2`` predates a reference
+change and differs from the current reference at exactly one span
+(explanation line starting with lowercase "solution", which the current
+EXPLANATION_PATTERN strips — verified in-sandbox). Matching the live
+code is the contract; ``test_snapshot_drift_is_known`` pins that the
+only snapshot/live divergence stays that one fixture.
+"""
+
+import json
+import os
+
+import pytest
+
+from pdf_parser_python_spark.plans import pipeline
+from pdf_parser_python_spark.sources import spans as sources
+
+from .conftest import fixture_dirs
+from .oracle import flatten_doc, run_reference
+
+KNOWN_STALE_SNAPSHOTS = {"test_soa_v2"}
+
+
+def _snapshot_questions(fixture_dir: str) -> list[dict]:
+    parsed = [f for f in os.listdir(fixture_dir) if f.endswith("_parsed.json")]
+    with open(os.path.join(fixture_dir, parsed[0])) as fh:
+        return json.load(fh)["questions"]
+
+
+def _expected_questions(fixture_dir: str) -> list[dict]:
+    """Live reference FSM output for the fixture's raw blocks."""
+    _, blocks = sources.load_fixture_blocks(fixture_dir)
+    spans = [
+        {
+            "kind": b["type"],
+            "text": b["content"] if b["type"] == "text" else "",
+            "media_ref": b["content"] if b["type"] == "image" else "",
+            "offset": b["order_index"],
+            "page": b["page_number"],
+        }
+        for b in blocks
+    ]
+    return run_reference(spans)
+
+
+def test_snapshot_drift_is_known():
+    drifted = set()
+    for fdir in fixture_dirs():
+        live = flatten_doc(_expected_questions(fdir))
+        snap = flatten_doc(_snapshot_questions(fdir))
+        if live != snap:
+            drifted.add(os.path.basename(fdir))
+    assert drifted == KNOWN_STALE_SNAPSHOTS
+
+
+@pytest.mark.parametrize("fdir", fixture_dirs(), ids=lambda d: os.path.basename(d))
+def test_fixture_span_equality(spark, fdir):
+    docs = sources.load_fixture(spark, fdir)
+    got_rows = (
+        pipeline.extract_flat_spans(docs)
+        .orderBy("question_number", "order")
+        .collect()
+    )
+    got = [
+        (r.question_number, r.section, r.kind, r.text, r.media_ref, r.order)
+        for r in got_rows
+    ]
+    expected = flatten_doc(_expected_questions(fdir))
+    assert got == expected
+
+
+@pytest.mark.parametrize("fdir", fixture_dirs(), ids=lambda d: os.path.basename(d))
+def test_fixture_question_fields(spark, fdir):
+    docs = sources.load_fixture(spark, fdir)
+    rows = (
+        pipeline.extract_questions(docs).orderBy("seq").collect()
+    )
+    expected = _expected_questions(fdir)
+    assert len(rows) == len(expected)
+    for r, e in zip(rows, expected):
+        assert r.question_number == e["question_number"]
+        assert r.question_type == e["question_type"]
+        assert r.question_text == e["question_text"]
+        assert r.question_images == e["question_images"]
+        assert r.answer_text == e["answer_text"]
+        assert r.answer_images == e["answer_images"]
+        assert r.explanation_text == e["explanation_text"]
+        assert r.explanation_images == e["explanation_images"]
+        assert [o.asDict() for o in r.options] == [
+            {k: o[k] for k in ("key", "text", "is_correct", "images")}
+            for o in e["options"]
+        ]
+        assert r.page_start == e["page_start"]
+        assert r.page_end == e["page_end"]
+        assert r.anomaly_score == e["anomaly_score"]
+        assert [a.type for a in r.anomalies] == [a["type"] for a in e["anomalies"]]
