@@ -1,38 +1,472 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction over a spans table derived
+deterministically from ``sf0.001/documents.parquet`` (native Column
+ops only, BASELINE.json input_hint shape).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 (+ training-data ops), DuckDB-checkable where the
+semantics are ANSI-SQL-expressible; extraction/FSM entries are
+rows-only (no SQL oracle — stateful segmentation).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pdf_parser_python_spark import schema  # noqa: E402
+from pdf_parser_python_spark.operators import validate as _validate  # noqa: E402
+from pdf_parser_python_spark.plans import pipeline  # noqa: E402
+from pdf_parser_python_spark.sources import spans as _sources  # noqa: E402
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package to executors (the local stand-in for
+    ``spark-submit --py-files``)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pdfp_shipped", False):
+        return
+    pkg_dir = os.path.join(_REPO, "pdf_parser_python_spark")
+    zpath = os.path.join("/tmp", "pdf_parser_python_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zpath)
+    sc._pdfp_shipped = True
+
+
+def _docs(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sources.exam_spans_from_documents(_docs(spark, sf_dir, "documents"))
+
+
+# ── flagship ─────────────────────────────────────────────────────────────
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spans-form documents → finalized question entities."""
+    _ensure_shipped(spark)
+    docs = _spans_table(spark, "/root/testdata/sf0.001")
+    qs = pipeline.extract_questions(docs)
+    return qs.select(
+        "doc_id", "seq", "question_number", "question_type", "question_text",
+        "answer_text", "explanation_text", "anomaly_score", "image_count",
+    )
 
+
+# ── queries ──────────────────────────────────────────────────────────────
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # — extraction core (stateful FSM: rows-only checks) —
+    def extract_questions(spark, sf):
+        _ensure_shipped(spark)
+        return pipeline.extract_questions(_spans_table(spark, sf)).select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "anomaly_score",
+        )
+
+    def extract_flat_spans(spark, sf):
+        _ensure_shipped(spark)
+        return pipeline.extract_flat_spans(_spans_table(spark, sf))
+
+    def extract_validation(spark, sf):
+        _ensure_shipped(spark)
+        qs = pipeline.extract_questions(_spans_table(spark, sf))
+        return _validate.validation_report(qs).select(
+            "doc_id", "total_questions_detected", "structured_successfully",
+            "orphan_images", "success_rate",
+        )
+
+    q["extract_questions"] = extract_questions
+    q["extract_flat_spans"] = extract_flat_spans
+    q["extract_validation"] = extract_validation
+
+    # — A1 duplicate keys (validator.py:61-67 pattern) —
+    def a1_duplicates(spark, sf):
+        return (
+            _docs(spark, sf, "orders")
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") > 1)
+        )
+
+    q["a1_duplicates"] = a1_duplicates
+
+    # — A2 min/max range —
+    def a2_minmax(spark, sf):
+        return (
+            _docs(spark, sf, "orders")
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.count("*").alias("cnt"),
+            )
+        )
+
+    q["a2_minmax"] = a2_minmax
+
+    # — A3/A7 conditional counts + success-rate ratio —
+    def a3_conditional(spark, sf):
+        big = (F.col("o_totalprice") > 100000).cast("int")
+        return (
+            _docs(spark, sf, "orders")
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").alias("n_total"),
+                F.sum(big).alias("n_big"),
+                F.round(F.sum(big) * 100.0 / F.count("*"), 2).alias("pct_big"),
+            )
+        )
+
+    q["a3_conditional"] = a3_conditional
+
+    # — A4 breakdown by type —
+    def a4_breakdown(spark, sf):
+        return (
+            _docs(spark, sf, "events")
+            .groupBy(F.col("event_type").alias("event_type"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    q["a4_breakdown"] = a4_breakdown
+
+    # — A11 first-seen dedup —
+    def a11_first_seen(spark, sf):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            _docs(spark, sf, "events")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("first_event_id"),
+                F.col("event_type").alias("first_event_type"),
+            )
+        )
+
+    q["a11_first_seen"] = a11_first_seen
+
+    # — J1 equi-join + revenue rollup —
+    def j1_join_revenue(spark, sf):
+        li = _docs(spark, sf, "lineitem")
+        orders = _docs(spark, sf, "orders")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["j1_join_revenue"] = j1_join_revenue
+
+    # — J3 anti-join (missing-questions diagnostic pattern) —
+    def j3_anti(spark, sf):
+        cust = _docs(spark, sf, "customer")
+        orders = _docs(spark, sf, "orders")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select(F.col("c_custkey").alias("custkey"))
+        )
+
+    q["j3_anti"] = j3_anti
+
+    # — J4 sequence-gap anti-join (validator.py:69-75 pattern) —
+    def j4_gaps(spark, sf):
+        sizes = _docs(spark, sf, "part").agg(
+            F.min("p_size").alias("mn"),
+            F.max("p_size").alias("mx"),
+            F.collect_set("p_size").alias("actual"),
+        )
+        return sizes.select(
+            F.explode(
+                F.array_sort(
+                    F.array_except(F.sequence("mn", "mx"), F.col("actual"))
+                )
+            ).alias("missing_size")
+        )
+
+    q["j4_gaps"] = j4_gaps
+
+    # — SO1-SO4 set ops —
+    def so_set_ops(spark, sf):
+        cn = _docs(spark, sf, "customer").select(
+            F.col("c_nationkey").alias("k")
+        ).distinct()
+        sn = _docs(spark, sf, "supplier").select(
+            F.col("s_nationkey").alias("k")
+        ).distinct()
+        return spark.createDataFrame(
+            [("stats",)], "tag string"
+        ).crossJoin(
+            cn.intersect(sn).agg(F.count("*").alias("n_intersect"))
+        ).crossJoin(
+            cn.exceptAll(sn).agg(F.count("*").alias("n_except"))
+        ).crossJoin(
+            cn.union(sn).distinct().agg(F.count("*").alias("n_union"))
+        )
+
+    q["so_set_ops"] = so_set_ops
+
+    # — W8 ordered collect (explode-sort-collect_list pipeline) —
+    def w8_ordered_flatten(spark, sf):
+        ev = _docs(spark, sf, "events")
+        return ev.groupBy(F.col("user_id").alias("user_id")).agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("type_seq")
+        )
+
+    q["w8_ordered_flatten"] = w8_ordered_flatten
+
+    # — W9/W10 top-k per group —
+    def w9_topk(spark, sf):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        return (
+            _docs(spark, sf, "orders")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3)
+            .select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("rk").alias("rk"),
+                F.col("o_orderkey").alias("orderkey"),
+            )
+        )
+
+    q["w9_topk"] = w9_topk
+
+    # — F2-style regex filter + scalar hash (§2.7) —
+    def f2_regex_hash(spark, sf):
+        d = _docs(spark, sf, "documents")
+        return (
+            d.where(~F.col("text").rlike("https?://"))
+            .select(
+                F.col("doc_id").alias("doc_id"),
+                F.md5(F.col("text")).alias("text_md5"),
+                F.length("text").alias("text_len"),
+            )
+        )
+
+    q["f2_regex_hash"] = f2_regex_hash
+
+    # — training-data: exact dedup (hash-groupBy) —
+    def dedup_exact(spark, sf):
+        d = _docs(spark, sf, "documents")
+        return (
+            d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+            .agg(
+                F.count("*").alias("n_copies"),
+                F.min("doc_id").alias("keeper_doc_id"),
+            )
+        )
+
+    q["dedup_exact"] = dedup_exact
+
+    # — training-data: text stats (token counts, url counts) —
+    def text_stats(spark, sf):
+        d = _docs(spark, sf, "documents")
+        return d.select(
+            F.col("doc_id").alias("doc_id"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)).alias("n_sentence_marks"),
+            F.col("n_chars").alias("n_chars"),
+        )
+
+    q["text_stats"] = text_stats
+
+    # — training-data: per-lang quality rollup —
+    def lang_rollup(spark, sf):
+        d = _docs(spark, sf, "documents")
+        return d.groupBy(F.col("lang").alias("lang")).agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+
+    q["lang_rollup"] = lang_rollup
+
+    # — training-data: brute-force cosine top-k vs a query vector —
+    def sim_topk(spark, sf):
+        e = _docs(spark, sf, "embeddings")
+        qv = e.where(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("qvec").cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                c.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        scored = (
+            e.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("vec_id"),
+                (dot / (norm(F.col("embedding")) * norm(F.col("qvec")))).alias(
+                    "_cos"
+                ),
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col("_cos").desc(), F.col("vec_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("rank", "vec_id")
+        )
+
+    q["sim_topk"] = sim_topk
+
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_duplicates": """
+            SELECT o_custkey AS custkey, count(*) AS cnt
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "a2_minmax": """
+            SELECT o_orderpriority AS priority,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key,
+                   count(*) AS cnt
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "a3_conditional": """
+            SELECT o_orderstatus AS status,
+                   count(*) AS n_total,
+                   sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+                   round(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                         * 100.0 / count(*), 2) AS pct_big
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "a4_breakdown": """
+            SELECT event_type AS event_type, count(*) AS cnt
+            FROM events GROUP BY event_type
+        """,
+        "a11_first_seen": """
+            SELECT user_id AS user_id, event_id AS first_event_id,
+                   event_type AS first_event_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) = 1
+        """,
+        "j1_join_revenue": """
+            SELECT o_orderpriority AS priority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "j3_anti": """
+            SELECT c_custkey AS custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "j4_gaps": """
+            WITH r AS (SELECT min(p_size) mn, max(p_size) mx FROM part),
+                 g AS (SELECT unnest(generate_series(mn, mx)) AS g FROM r)
+            SELECT g AS missing_size FROM g
+            WHERE g NOT IN (SELECT DISTINCT p_size FROM part)
+            ORDER BY 1
+        """,
+        "so_set_ops": """
+            WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+                 sn AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+            SELECT 'stats' AS tag,
+                   (SELECT count(*) FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)) AS n_intersect,
+                   (SELECT count(*) FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)) AS n_except,
+                   (SELECT count(*) FROM (SELECT k FROM cn UNION SELECT k FROM sn)) AS n_union
+        """,
+        "w8_ordered_flatten": """
+            SELECT user_id AS user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+            FROM events GROUP BY user_id
+        """,
+        "w9_topk": """
+            SELECT o_custkey AS custkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+                   o_orderkey AS orderkey
+            FROM orders
+            QUALIFY rk <= 3
+        """,
+        "f2_regex_hash": """
+            SELECT doc_id AS doc_id, md5(text) AS text_md5,
+                   length(text) AS text_len
+            FROM documents WHERE NOT regexp_matches(text, 'https?://')
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, count(*) AS n_copies,
+                   min(doc_id) AS keeper_doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_stats": """
+            SELECT doc_id AS doc_id,
+                   length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                   length(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks,
+                   n_chars AS n_chars
+            FROM documents
+        """,
+        "lang_rollup": """
+            SELECT lang AS lang, count(*) AS n_docs,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "sim_topk": """
+            WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       (SELECT sum(a*b) FROM (
+                            SELECT unnest(e.embedding)::DOUBLE AS a,
+                                   unnest(qv.q)::DOUBLE AS b)) /
+                       (sqrt((SELECT sum(a*a) FROM (SELECT unnest(e.embedding)::DOUBLE AS a))) *
+                        sqrt((SELECT sum(b*b) FROM (SELECT unnest(qv.q)::DOUBLE AS b)))) AS c
+                FROM embeddings e, qv WHERE e.vec_id <> 0
+            )
+            SELECT row_number() OVER (ORDER BY c DESC, vec_id) AS rank, vec_id
+            FROM scored
+            QUALIFY rank <= 10
+        """,
+    }

