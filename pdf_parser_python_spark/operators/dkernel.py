@@ -1,0 +1,110 @@
+"""Packed document kernel — the zero-shuffle fast path.
+
+The input_hint table is already one row per document with the full
+ordered span array, so the explode → shuffle-by-doc_id → re-group
+dance of the line-grained path (:mod:`.pkernel`) moves ~100 bytes/line
+through a shuffle only to reassemble what the input row already held.
+This kernel parses straight off the packed rows:
+
+    documents --array_sort(spans)--> 4 primitive arrays (native)
+        --mapInPandas(parse_docs)--> raw question rows
+
+No shuffle anywhere; the only cross-row machinery is Arrow batching.
+Tokenization (newline split, strip, noise filter) happens inside the
+kernel with compiled regexes — with packed input there is no data-size
+win from filtering JVM-side, since whole documents ship regardless.
+
+The FSM itself is shared with pkernel (`_DocState`/`_process_rows`),
+so the two engines cannot drift; tests assert all engines agree.
+
+Trade-off vs pkernel: a pathological single document is one task here
+(no intra-doc parallelism), and its spans sit in one Arrow row. Use
+pkernel for line-grained sources or when rows exceed batch memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import anchors as A
+from .pkernel import _COLUMNS, _DocState, _process_rows
+
+
+def _parse_doc(doc_id: str, kinds, texts, refs, pages) -> list[tuple]:
+    """One packed document → raw question rows."""
+    noise_ci = A.RE_NOISE_CI.match
+    noise_cs = A.RE_NOISE_CS.match
+    k_l: list[str] = []
+    t_l: list[str] = []
+    m_l: list[str] = []
+    p_l: list[int] = []
+    for j in range(len(kinds)):
+        if kinds[j] == "image":
+            k_l.append("image")
+            t_l.append("")
+            m_l.append(refs[j] or "")
+            p_l.append(pages[j])
+        else:
+            pg = pages[j]
+            for ln in (texts[j] or "").split("\n"):
+                t = ln.strip()
+                if t and not noise_ci(t) and not noise_cs(t):
+                    k_l.append("text")
+                    t_l.append(t)
+                    m_l.append("")
+                    p_l.append(pg)
+    ds = _DocState(doc_id)
+    try:
+        _process_rows(ds, k_l, t_l, m_l, p_l)
+    except Exception:
+        ds.failed = True
+    return ds.finish()
+
+
+def parse_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint over (doc_id, kinds, texts, refs, pages)."""
+    yielded = False
+    for pdf in batches:
+        out: list[tuple] = []
+        ids = pdf["doc_id"].to_numpy()
+        kinds = pdf["kinds"].to_numpy()
+        texts = pdf["texts"].to_numpy()
+        refs = pdf["refs"].to_numpy()
+        pages = pdf["pages"].to_numpy()
+        for r in range(len(ids)):
+            pg = pages[r]
+            pg_list = (
+                [1] * len(kinds[r])
+                if pg is None
+                else [1 if p is None else int(p) for p in pg]
+            )
+            out.extend(_parse_doc(ids[r], kinds[r], texts[r], refs[r], pg_list))
+        if out:
+            yielded = True
+            yield pd.DataFrame(out, columns=_COLUMNS)
+    if not yielded:
+        yield pd.DataFrame({c: pd.Series(dtype=object) for c in _COLUMNS})
+
+
+def packed_projection(documents: DataFrame) -> DataFrame:
+    """Native prep: sort spans by offset, project primitive arrays
+    (keeps Arrow transfer to plain list<string>/list<int> — no dicts)."""
+    has_page = "page" in documents.schema["spans"].dataType.elementType.names
+    spans = F.array_sort(
+        "spans", lambda a, b: a["offset"].cast("int") - b["offset"].cast("int")
+    )
+    return documents.select(
+        "doc_id",
+        F.transform(spans, lambda s: s["kind"]).alias("kinds"),
+        F.transform(spans, lambda s: s["text"]).alias("texts"),
+        F.transform(spans, lambda s: s["media_ref"]).alias("refs"),
+        (
+            F.transform(spans, lambda s: s["page"])
+            if has_page
+            else F.lit(None).cast("array<int>")
+        ).alias("pages"),
+    )

@@ -31,6 +31,7 @@ from .. import schema
 from ..functions import anchors as A
 from ..operators import finalize as _finalize
 from ..operators import flatten as _flatten
+from ..operators import dkernel
 from ..operators.kernel import segment_kernel
 from ..operators.pkernel import parse_partition
 
@@ -81,19 +82,26 @@ def tokenize(documents: DataFrame) -> DataFrame:
 def parse_raw(
     documents: DataFrame,
     shuffle_partitions: int | None = None,
-    engine: str = "partition",
+    engine: str = "packed",
 ) -> DataFrame:
     """documents → raw question rows (pre-finalize).
 
-    engine="partition" (default, the scale path): repartition by doc_id
-    + sortWithinPartitions + mapInPandas over whole Arrow batches — one
-    Python invocation per ~10k lines, FSM state carried across batches,
-    giant documents stream without materializing in memory.
+    engine="packed" (default): zero-shuffle — the input is already one
+    row per document, so parse straight off the packed span arrays
+    (operators/dkernel.py). Scan → mapInPandas, single stage.
+
+    engine="partition": line-grained scale path — explode + repartition
+    by doc_id + sortWithinPartitions + mapInPandas over whole Arrow
+    batches, FSM state carried across batches. Use for line-grained
+    sources or documents too large for a single Arrow row.
 
     engine="grouped": groupBy(doc_id).applyInPandas — one invocation
     per document; kept as the semantically-obvious reference
-    implementation (tests assert both engines agree).
+    implementation (tests assert all engines agree).
     """
+    if engine == "packed":
+        proj = dkernel.packed_projection(documents)
+        return proj.mapInPandas(dkernel.parse_docs, schema=schema.QUESTION_RAW)
     lines = tokenize(documents)
     if engine == "grouped":
         grouped = (
