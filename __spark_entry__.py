@@ -317,6 +317,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_rollup"] = lang_rollup
 
+    # — training-data: quality scoring (textstats.quality_score) —
+    def text_quality(spark, sf):
+        from pdf_parser_python_spark.operators.textstats import quality_score
+
+        d = _docs(spark, sf, "documents")
+        return d.select(
+            F.col("doc_id").alias("doc_id"),
+            quality_score(F.col("text")).alias("quality"),
+        )
+
+    q["text_quality"] = text_quality
+
+    # — training-data: full text profile (fingerprint uses xxhash64 →
+    #   no DuckDB oracle; rows-only) —
+    def text_profile(spark, sf):
+        from pdf_parser_python_spark.operators.textstats import text_profile as tp
+
+        return tp(_docs(spark, sf, "documents"))
+
+    q["text_profile"] = text_profile
+
+    # — training-data: minhash-LSH near-dup pairs (rows-only: xxhash64) —
+    def dedup_minhash(spark, sf):
+        from pdf_parser_python_spark.operators.dedup import minhash_lsh_pairs
+
+        d = _docs(spark, sf, "documents")
+        # self-union a mutated copy so the corpus has guaranteed near-dups
+        mut = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing edit token")).alias("text"),
+        )
+        both = d.select("doc_id", "text").unionByName(mut)
+        return minhash_lsh_pairs(both, k=32, bands=16, threshold=0.5)
+
+    q["dedup_minhash"] = dedup_minhash
+
+    # — training-data: simhash near-dup pairs (rows-only: xxhash64) —
+    def dedup_simhash(spark, sf):
+        from pdf_parser_python_spark.operators.dedup import simhash_near_dups
+
+        d = _docs(spark, sf, "documents")
+        mut = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+        both = d.select("doc_id", "text").unionByName(mut)
+        return simhash_near_dups(both, max_hamming=3)
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # — training-data: LSH-bucketed ANN (rows-only; exact-score rerank) —
+    def sim_lsh_topk(spark, sf):
+        from pdf_parser_python_spark.operators.similarity import lsh_bucket_topk
+
+        return lsh_bucket_topk(_docs(spark, sf, "embeddings"), 0, k=10)
+
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    # — multimodal plumbing (rows-only; payload decode is stubbed) —
+    def media_features(spark, sf):
+        from pdf_parser_python_spark.operators import media
+
+        m = media.synthetic_media(spark, 64)
+        return media.extract_features(media.size_filter(m))
+
+    q["media_features"] = media_features
+
     # — training-data: brute-force cosine top-k vs a query vector —
     def sim_topk(spark, sf):
         e = _docs(spark, sf, "embeddings")
@@ -448,6 +515,27 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks,
                    n_chars AS n_chars
             FROM documents
+        """,
+        "text_quality": """
+            WITH s AS (
+                SELECT doc_id,
+                       length(text) AS n,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                       length(regexp_extract_all(text, '[.!?]')) AS n_marks,
+                       length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> x <> '')) AS nt
+                FROM documents)
+            SELECT doc_id AS doc_id,
+                   greatest(0, least(100,
+                       (CASE WHEN n >= 200 THEN 40 WHEN n >= 50 THEN 25
+                             WHEN n >= 10 THEN 10 ELSE 0 END)
+                     + (CASE WHEN n > 0 THEN CAST(floor(n_alpha * 30.0 / n) AS int) ELSE 0 END)
+                     + (CASE WHEN n_marks > 0 THEN 15 ELSE 0 END)
+                     + (CASE WHEN nt >= 20 THEN 15 WHEN nt >= 5 THEN 8 ELSE 0 END)
+                     + (CASE WHEN n > 0 AND n_punct * 3 > n THEN -20 ELSE 0 END)
+                   )) AS quality
+            FROM s
         """,
         "lang_rollup": """
             SELECT lang AS lang, count(*) AS n_docs,

@@ -1,0 +1,141 @@
+"""Text-analysis operators for training-data pipelines.
+
+All native Column expressions (JVM-side, whole-stage codegen) — no
+UDFs: language-ID (stopword-hit heuristic), quality scoring, token
+counting (whitespace + BPE-ish subword estimate), and document
+fingerprinting (polynomial rolling hash over shingles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately small & deterministic: language ID here is a relative
+#: scorer, not a classifier product.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "pour", "que", "une"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (empty input → empty array)."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.filter(t, lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def subword_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: word-piece segments + digit/punct runs
+    (a cheap deterministic proxy for a real tokenizer's length)."""
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]"), 0
+    )
+    return F.size(pieces)
+
+
+def lang_scores(col: Column) -> Column:
+    """map<lang, hits>: stopword hits per language over the token set."""
+    toks = F.transform(tokens(F.lower(col)), lambda x: x)
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(
+                F.filter(toks, lambda t: t.isin(*STOPWORDS[lang]))
+            ).alias("hits"),
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_guess(col: Column) -> Column:
+    """argmax of lang_scores with deterministic tie-break (lang asc);
+    'und' when nothing hits."""
+    entries = [
+        F.struct(
+            F.size(
+                F.filter(
+                    tokens(F.lower(col)), lambda t: t.isin(*STOPWORDS[lang])
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS, reverse=True)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(col: Column) -> Column:
+    """0-100 heuristic quality score: length band + alpha ratio +
+    sentence-mark presence − punctuation-flood penalty.
+
+    Deterministic integer arithmetic only (oracle-friendly)."""
+    n = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_marks = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]"), 0))
+    nt = token_count(col)
+
+    len_band = (
+        F.when(n >= 200, 40)
+        .when(n >= 50, 25)
+        .when(n >= 10, 10)
+        .otherwise(0)
+    )
+    alpha_pts = F.when(n > 0, (n_alpha * 30 / n).cast("int")).otherwise(0)
+    mark_pts = F.when(n_marks > 0, 15).otherwise(0)
+    tok_pts = F.when(nt >= 20, 15).when(nt >= 5, 8).otherwise(0)
+    flood_pen = F.when((n > 0) & (n_punct * 3 > n), -20).otherwise(0)
+    return F.greatest(
+        F.lit(0), F.least(F.lit(100), len_band + alpha_pts + mark_pts + tok_pts + flood_pen)
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as strings (ordered, deduplicated)."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """64-bit document fingerprint: XOR fold of shingle hashes.
+
+    XOR is overflow-free (ANSI-safe), order-insensitive, and shingles
+    are deduplicated upstream so pairs can't cancel; stable across
+    partitioning and cluster size."""
+    return F.aggregate(
+        shingles(col),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc.bitwiseXOR(F.xxhash64(s)),
+    )
+
+
+def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per doc: the full text-analysis profile."""
+    c = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        subword_estimate(c).alias("n_subwords"),
+        F.length(c).alias("n_chars"),
+        lang_guess(c).alias("lang_guess"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,109 @@
+"""Training-data pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_python_spark.operators import dedup, media, similarity, textstats
+
+DOCS = [
+    # two exact dupes, one near-dup (1 word changed), distinct rest
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (3, "the quick brown fox jumps over the lazy cat and runs far away home"),
+    (4, "completely different content about spark shuffles and partitions"),
+    (5, "el perro corre por la calle y la casa es grande para los amigos"),
+    (6, "le chat est dans la maison et les amis sont pour le dîner"),
+    (7, "der hund ist nicht in das haus und die katze ist mit der maus"),
+    (8, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    rows = {r.keeper_doc_id: r for r in dedup.exact_dedup(docs).collect()}
+    assert rows[1].n_copies == 2 and rows[1].members == [1, 2]
+    assert sum(r.n_copies for r in rows.values()) == len(DOCS)
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, k=32, bands=16, threshold=0.4).collect()
+    got = {(r.doc_a, r.doc_b): r.sig_similarity for r in pairs}
+    assert got[(1, 2)] == 1.0          # exact dup → all minhashes equal
+    assert (1, 3) in got or (2, 3) in got   # near-dup caught by a band
+    assert all(a < b for (a, b) in got)
+    assert not any({a, b} == {4, 5} for (a, b) in got)
+
+
+def test_ngram_jaccard_verifies(docs, spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    j = {(r.doc_a, r.doc_b): r.jaccard
+         for r in dedup.ngram_jaccard(docs, pairs).collect()}
+    assert j[(1, 2)] == 1.0
+    assert 0.3 < j[(1, 3)] < 1.0
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_near_dups(docs):
+    pairs = dedup.simhash_near_dups(docs, max_hamming=10).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got[(1, 2)] == 0
+    if (1, 3) in got:
+        assert got[(1, 3)] <= 10
+    assert (4, 5) not in got and (4, 6) not in got
+
+
+def test_lang_guess_and_quality(docs):
+    prof = {r.doc_id: r for r in textstats.text_profile(docs).collect()}
+    assert prof[1].lang_guess == "en"
+    assert prof[5].lang_guess == "es"
+    assert prof[6].lang_guess == "fr"
+    assert prof[7].lang_guess == "de"
+    assert prof[8].quality < prof[1].quality
+    assert prof[1].fingerprint == prof[2].fingerprint
+    assert prof[1].fingerprint != prof[4].fingerprint
+    assert prof[1].n_tokens == 14
+
+
+def test_similarity_exact_vs_lsh(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+
+    def jitter(eps):
+        return [x + rng.uniform(-eps, eps) for x in base]
+
+    rows = [(0, base)] + [(i, jitter(0.05 * i)) for i in range(1, 30)] + [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = similarity.cosine_topk(emb, 0, k=5).collect()
+    approx = similarity.lsh_bucket_topk(emb, 0, k=5, n_planes=6).collect()
+    assert [r.rank for r in exact] == [1, 2, 3, 4, 5]
+    assert exact[0].vec_id == 1           # smallest jitter = nearest
+    assert len(approx) >= 3               # multi-probe recall on this set
+    exact_scores = {r.vec_id: r.score for r in exact}
+    for r in approx:                      # approx scores = exact scores
+        if r.vec_id in exact_scores:
+            assert r.score == exact_scores[r.vec_id]
+
+
+def test_media_pipeline(spark):
+    m = media.synthetic_media(spark, 32)
+    kept = media.size_filter(m)
+    assert 0 < kept.count() <= 32
+    dd = media.dedup_by_content(m)
+    assert dd.count() == 32               # all payloads distinct
+    feats = media.extract_features(m).collect()
+    assert len(feats) == 32
+    for f in feats:
+        assert len(f.features) == 16 and f.n_bytes > 0
+        assert 0.0 <= f.entropy_proxy <= 1.5
