@@ -1,0 +1,79 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference's background worker is a hand-rolled micro-batch engine
+(page-at-a-time commits + checkpoint column,
+/root/reference/parser/background_worker.py:134-298). Structured
+Streaming owns all of that here:
+
+- source: ``readStream`` over the documents table's directory (new
+  files = new documents; one row per doc so no cross-batch FSM state);
+- transform: the same packed kernel — stateless per row, so the whole
+  extraction runs *inside* the streaming query, no foreachBatch needed;
+- sink: parquet/Iceberg append with exactly-once via checkpointLocation
+  (replaces the reference's delete-before-insert idempotence dance);
+- `availableNow` trigger gives the reference's "process the backlog,
+  then stop" worker behavior.
+
+Validation aggregates are per-document and arrive with the document,
+so they stream too; corpus-level rollups belong in a batch query over
+the sink table (they need ALL docs regardless of engine).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import schema
+from ..operators import finalize as _finalize
+from ..operators import flatten as _flatten
+from ..plans import pipeline
+
+
+def read_documents_stream(
+    spark: SparkSession, input_dir: str, with_page: bool = True
+) -> DataFrame:
+    sch = schema.DOCUMENT_SPANS_EXT if with_page else schema.DOCUMENT_SPANS
+    return (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+
+def streaming_questions(documents_stream: DataFrame) -> DataFrame:
+    """Streaming DF of finalized questions (stateless transform)."""
+    raw = pipeline.parse_raw(documents_stream, engine="packed")
+    return _finalize.finalize_questions(raw)
+
+
+def streaming_flat_spans(documents_stream: DataFrame) -> DataFrame:
+    return _flatten.flat_spans(streaming_questions(documents_stream))
+
+
+def start_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+    with_page: bool = True,
+) -> StreamingQuery:
+    """Launch the incremental extraction job.
+
+    Exactly-once file processing via the checkpoint under output_dir;
+    restarting after adding input files processes only the new ones —
+    the streaming analogue of plans/lineage.ExtractionJob.
+    """
+    stream = read_documents_stream(spark, input_dir, with_page)
+    qs = streaming_questions(stream)
+    writer = (
+        qs.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "questions"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
