@@ -95,16 +95,18 @@ RE_NOISE_CS = re.compile(NOISE_CS)
 RE_COVER_NOISE = re.compile(COVER_NOISE)
 
 # ── Java-regex (Catalyst) forms ──────────────────────────────────────────
+# (?U) gives Java \s/\b the unicode semantics Python `re` has by
+# default on str patterns — PDFs carry NBSP and friends.
 
-J_QUESTION = "(?i)" + QUESTION
-J_OPTION = OPTION
-J_ANSWER = "(?i)" + ANSWER
-J_EXPLANATION = "(?i)" + EXPLANATION
-J_HOTSPOT = "(?i)" + HOTSPOT
-J_SOLO_QUESTION = "(?i)" + SOLO_QUESTION
-J_NOISE_CI = "(?i)" + NOISE_CI
-J_NOISE_CS = NOISE_CS
-J_COVER_NOISE = COVER_NOISE
+J_QUESTION = "(?iU)" + QUESTION
+J_OPTION = "(?U)" + OPTION
+J_ANSWER = "(?iU)" + ANSWER
+J_EXPLANATION = "(?iU)" + EXPLANATION
+J_HOTSPOT = "(?iU)" + HOTSPOT
+J_SOLO_QUESTION = "(?iU)" + SOLO_QUESTION
+J_NOISE_CI = "(?iU)" + NOISE_CI
+J_NOISE_CS = "(?U)" + NOISE_CS
+J_COVER_NOISE = "(?U)" + COVER_NOISE
 
 
 def is_noise_line(line: str) -> bool:

@@ -64,7 +64,18 @@ def tokenize(documents: DataFrame) -> DataFrame:
             "offset",
             "page",
         )
-        .withColumn("text", F.trim("line"))
+        # python str.strip() parity: all ASCII whitespace + the common
+        # unicode spaces PDFs carry (NBSP, NEL, ideographic space, Zs)
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                "line",
+                "^[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029"
+                "\\u202F\\u205F\\u3000]+|[\\s\\u0085\\u00A0\\u1680"
+                "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+$",
+                "",
+            ),
+        )
         .drop("line")
         .where(F.col("text") != "")
         # F2 noise pushdown: always-ignored boilerplate never reaches

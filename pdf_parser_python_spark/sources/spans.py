@@ -184,7 +184,10 @@ def generate_doc_spans(doc_index: int, mean_questions: int = 12,
             text(f"Question {use_num}")  # solo artifact — must be ignored
         colon = ":" if rng.random() < 0.9 else ""
         inline = f" What about resource {rng.randrange(100)}?" if rng.random() < 0.3 else ""
-        text(f"Question{colon} {use_num}{inline}")
+        # unicode-whitespace torture: NBSP/tab/CR edges like real PDFs
+        pad = rng.choice(["", "\t", " ", "   "]) if rng.random() < 0.15 else ""
+        text(f"{pad}Question{colon} {use_num}{inline}{pad}\r" if pad else
+             f"Question{colon} {use_num}{inline}")
         if not colon and not inline:
             # "Question N" alone would be a solo artifact; add body line
             text(f"Body for {use_num} synthesized clause {rng.randrange(1000)}.")
