@@ -53,7 +53,20 @@ def _docs(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sources.exam_spans_from_documents(_docs(spark, sf_dir, "documents"))
+    """Deterministic spans-form corpus derived from documents.parquet.
+
+    Materialized once per sf_dir under /tmp: the synthesis expression
+    is a large Catalyst tree (analysis costs seconds), and every
+    extract_* query reuses the same input.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    cache = f"/tmp/pdfp_exam_spans_{tag}.parquet"
+    if not os.path.exists(cache):
+        _sources.exam_spans_from_documents(
+            _docs(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(cache + ".tmp")
+        os.rename(cache + ".tmp", cache)
+    return spark.read.parquet(cache)
 
 
 # ── flagship ─────────────────────────────────────────────────────────────
@@ -210,6 +223,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["j4_gaps"] = j4_gaps
+
+    # — J2 hydration join (customer ⋈ nation ⋈ region rollup) —
+    def j2_hydration(spark, sf):
+        c = _docs(spark, sf, "customer")
+        n = _docs(spark, sf, "nation")
+        r = _docs(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy(F.col("r_name").alias("region"))
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+        )
+
+    q["j2_hydration"] = j2_hydration
+
+    # — W1 global order index (row_number over doc order) —
+    def w1_order_index(spark, sf):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            _docs(spark, sf, "events")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("event_id").alias("event_id"),
+                F.row_number().over(w).alias("order_index"),
+            )
+        )
+
+    q["w1_order_index"] = w1_order_index
+
+    # — W3 relational twin of the FSM segmentation: cumulative-sum
+    #   sessionization (anchor = >30 min gap) —
+    def w3_sessionize(spark, sf):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ev = _docs(spark, sf, "events").withColumn(
+            "is_new",
+            F.when(
+                F.col("ts").cast("timestamp").cast("long")
+                - F.lag(F.col("ts").cast("timestamp").cast("long"), 1, 0).over(w)
+                > 1800,
+                1,
+            ).otherwise(0),
+        )
+        ev = ev.withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return ev.groupBy(
+            F.col("user_id").alias("user_id"),
+            F.col("session_id").alias("session_id"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+        )
+
+    q["w3_sessionize"] = w3_sessionize
+
+    # — F5 repeat-image filter analogue: drop over-frequent keys —
+    def f5_repeat_filter(spark, sf):
+        li = _docs(spark, sf, "lineitem")
+        logos = (
+            li.groupBy("l_partkey").count().where(F.col("count") > 20)
+            .select("l_partkey")
+        )
+        kept = li.join(F.broadcast(logos), "l_partkey", "left_anti")
+        return kept.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+
+    q["f5_repeat_filter"] = f5_repeat_filter
+
+    # — A10 batch summary totals —
+    def a10_summary(spark, sf):
+        o = _docs(spark, sf, "orders")
+        li = _docs(spark, sf, "lineitem")
+        return (
+            o.agg(
+                F.count("*").alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_active_customers"),
+            )
+            .crossJoin(
+                li.agg(
+                    F.count("*").alias("n_lineitems"),
+                    F.round(
+                        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                        2,
+                    ).alias("total_revenue"),
+                )
+            )
+        )
+
+    q["a10_summary"] = a10_summary
 
     # — SO1-SO4 set ops —
     def so_set_ops(spark, sf):
@@ -477,6 +592,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS missing_size FROM g
             WHERE g NOT IN (SELECT DISTINCT p_size FROM part)
             ORDER BY 1
+        """,
+        "j2_hydration": """
+            SELECT r_name AS region, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "w1_order_index": """
+            SELECT user_id AS user_id, event_id AS event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS order_index
+            FROM events
+        """,
+        "w3_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN epoch(ts) - coalesce(
+                                lag(epoch(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id),
+                                0) > 1800
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events),
+            s AS (
+                SELECT user_id, event_id,
+                       sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g)
+            SELECT user_id AS user_id, session_id AS session_id,
+                   count(*) AS n_events, min(event_id) AS min_event_id
+            FROM s GROUP BY user_id, session_id
+        """,
+        "f5_repeat_filter": """
+            WITH logos AS (
+                SELECT l_partkey FROM lineitem
+                GROUP BY l_partkey HAVING count(*) > 20)
+            SELECT l_returnflag AS returnflag, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_partkey NOT IN (SELECT l_partkey FROM logos)
+            GROUP BY l_returnflag
+        """,
+        "a10_summary": """
+            SELECT (SELECT count(*) FROM orders) AS n_orders,
+                   (SELECT count(DISTINCT o_custkey) FROM orders) AS n_active_customers,
+                   (SELECT count(*) FROM lineitem) AS n_lineitems,
+                   (SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+                    FROM lineitem) AS total_revenue
         """,
         "so_set_ops": """
             WITH cn AS (SELECT DISTINCT c_nationkey AS k FROM customer),
