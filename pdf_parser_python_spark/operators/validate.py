@@ -55,6 +55,7 @@ def validation_report(questions: DataFrame) -> DataFrame:
         F.min("question_number").alias("_mn"),
         F.max("question_number").alias("_mx"),
         F.collect_set("question_number").alias("_actual"),
+        F.collect_list("question_number").alias("_all_nums"),
         F.flatten(F.collect_list(F.transform("anomalies", lambda a: a["type"])))
         .alias("_anomaly_types"),
     )
@@ -67,21 +68,23 @@ def validation_report(questions: DataFrame) -> DataFrame:
         ).cast("array<int>"),
     )
 
-    # duplicates (validator.py:61-67): numbers appearing more than once
-    dups = (
-        questions.groupBy("doc_id", "question_number")
-        .count()
-        .where(F.col("count") > 1)
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list("question_number")).alias(
-                "duplicate_question_numbers"
-            )
-        )
-    )
-    out = base.join(dups, "doc_id", "left").withColumn(
+    # duplicates (validator.py:61-67): numbers appearing more than once.
+    # Derived from the already-collected per-doc number list instead of
+    # a second groupBy + join — saves two shuffles and a join at scale
+    # (the list is per-document, at most a few thousand entries).
+    out = base.withColumn(
         "duplicate_question_numbers",
-        F.coalesce("duplicate_question_numbers", F.array().cast("array<int>")),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    "_all_nums",
+                    lambda q: F.size(
+                        F.filter("_all_nums", lambda x: x == q)
+                    )
+                    > 1,
+                )
+            )
+        ),
     )
 
     # anomaly_breakdown: map type → count (validator.py:102-105)
@@ -112,7 +115,7 @@ def validation_report(questions: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)),
     )
-    return out.drop("_mn", "_mx", "_actual", "_anomaly_types")
+    return out.drop("_mn", "_mx", "_actual", "_all_nums", "_anomaly_types")
 
 
 def extraction_metrics(raw_questions: DataFrame) -> DataFrame:
