@@ -118,6 +118,17 @@ def validation_report(questions: DataFrame) -> DataFrame:
     return out.drop("_mn", "_mx", "_actual", "_all_nums", "_anomaly_types")
 
 
+def page_metrics(lines: DataFrame) -> DataFrame:
+    """A9: per-(doc, page) block counts — the reference logs blocks and
+    questions per page at each checkpoint (background_worker.py:209-232);
+    here it's one map-side-combining aggregation over tokenized lines."""
+    return lines.groupBy("doc_id", "page").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum((F.col("kind") == "image").cast("int")).alias("n_images"),
+        F.sum((F.col("kind") == "text").cast("int")).alias("n_text_lines"),
+    )
+
+
 def extraction_metrics(raw_questions: DataFrame) -> DataFrame:
     """North-rule extraction-metric rows per document: questions
     emitted + parse failures (kernel sentinel rows, kernel.py)."""

@@ -1,0 +1,38 @@
+"""Normalize → hydrate round-trip: the reference's SQLite store +
+hydration joins, as Spark tables (S6/S7/J2)."""
+
+from pdf_parser_python_spark import schema
+from pdf_parser_python_spark.operators import store
+from pdf_parser_python_spark.plans import pipeline
+from pdf_parser_python_spark.sources.spans import generate_doc_spans
+
+
+def _canon(rows):
+    out = []
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.seq)):
+        d = r.asDict(recursive=True)
+        out.append(d)
+    return out
+
+
+def test_round_trip_identity(spark):
+    corpus = [
+        (f"db-{i:03d}", generate_doc_spans(6000 + i, mean_questions=7))
+        for i in range(15)
+    ]
+    docs = spark.createDataFrame(corpus, schema=schema.DOCUMENT_SPANS_EXT)
+    qs = pipeline.extract_questions(docs).select(
+        "doc_id", "seq", "question_number", "question_type", "question_text",
+        "question_images", "options", "answer_text", "answer_images",
+        "explanation_text", "explanation_images", "page_start", "page_end",
+        "anomalies", "anomaly_score",
+    ).cache()
+
+    tables = store.normalize(qs)
+    assert tables["questions"].count() == qs.count()
+    # child tables contain exactly the exploded content
+    n_opts = qs.selectExpr("sum(size(options))").first()[0]
+    assert tables["options"].count() == n_opts
+
+    back = store.hydrate(tables)
+    assert _canon(back.collect()) == _canon(qs.collect())
