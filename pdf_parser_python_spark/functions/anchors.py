@@ -74,8 +74,19 @@ _NOISE_CI_PARTS = [
 
 NOISE_CI = "(?:" + "|".join(_NOISE_CI_PARTS) + ")"
 
+#: Anchor-free alternation bodies (no leading ``^``) for embedding the
+#: noise rules inside a larger start-anchored pattern (all parts are
+#: non-capturing internally, so named groups around them stay reliable).
+NOISE_CI_BODY = "|".join(
+    p[1:] if p.startswith("^") else p for p in _NOISE_CI_PARTS
+)
+
+_NOISE_CS_PARTS = [r"^\s*[=\-]{4,}\s*$", r"^\s*https?://\S+\s*$"]
+
 #: Case-sensitive noise: separator rules ("====", "----") and lone URLs.
-NOISE_CS = r"(?:^\s*[=\-]{4,}\s*$|^\s*https?://\S+\s*$)"
+NOISE_CS = "(?:" + "|".join(_NOISE_CS_PARTS) + ")"
+
+NOISE_CS_BODY = "|".join(p[1:] for p in _NOISE_CS_PARTS)
 
 #: Cover-page noise — standalone number or short exam code; only applied
 #: to lines *before the first effective question anchor* of a document

@@ -30,14 +30,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import anchors as A
-from .pkernel import _COLUMNS, _DocState, _process_rows
+from .pkernel import _COLUMNS, _COMBINED_NOISE, _DocState, _process_rows
 
 
 def _parse_doc(doc_id: str, kinds, texts, refs, pages) -> list[tuple]:
-    """One packed document → raw question rows."""
-    noise_ci = A.RE_NOISE_CI.match
-    noise_cs = A.RE_NOISE_CS.match
+    """One packed document → raw question rows.
+
+    Noise filtering is fused into the classifier (pkernel's
+    _COMBINED_NOISE): one C-level regex pass per line instead of
+    separate noise + anchor passes."""
     k_l: list[str] = []
     t_l: list[str] = []
     m_l: list[str] = []
@@ -52,14 +53,14 @@ def _parse_doc(doc_id: str, kinds, texts, refs, pages) -> list[tuple]:
             pg = pages[j]
             for ln in (texts[j] or "").split("\n"):
                 t = ln.strip()
-                if t and not noise_ci(t) and not noise_cs(t):
+                if t:
                     k_l.append("text")
                     t_l.append(t)
                     m_l.append("")
                     p_l.append(pg)
     ds = _DocState(doc_id)
     try:
-        _process_rows(ds, k_l, t_l, m_l, p_l)
+        _process_rows(ds, k_l, t_l, m_l, p_l, match=_COMBINED_NOISE.match)
     except Exception:
         ds.failed = True
     return ds.finish()

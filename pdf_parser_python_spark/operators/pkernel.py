@@ -31,15 +31,28 @@ import pandas as pd
 
 from ..functions import anchors as A
 
-#: ordered alternation == the reference's check order
-_COMBINED = re.compile(
-    r"^\s*(?:"
+_ANCHOR_ALTERNATION = (
     r"Question\s*:?\s*(?P<qnum>\d+)"
     r"|(?P<hot>HOTSPOT)\s*$"
     r"|\(?(?P<okey>[A-Za-z])\s*[.):\-–—]\s*"
     r"|(?P<ans>(?:Correct\s+)?(?:Answer|Ans|Key))[\s.:]*"
     r"|(?P<exp>Explanation|Reference|Rationale|Solution)\s*:?\s*"
-    r")",
+)
+
+#: ordered alternation == the reference's check order (noise handled
+#: upstream by the native tokenize filter)
+_COMBINED = re.compile(r"^\s*(?:" + _ANCHOR_ALTERNATION + r")", re.IGNORECASE)
+
+#: single-pass variant for the packed kernel: the always-ignore noise
+#: check (reference state_machine.py:200-202 — noise wins over every
+#: anchor) rides as the FIRST alternative, so one C-level regex pass
+#: classifies a line completely. The two case-SENSITIVE noise rules
+#: (separators, lone URLs) keep their sensitivity via (?-i:...).
+_COMBINED_NOISE = re.compile(
+    r"^\s*(?:(?P<noise>"
+    + A.NOISE_CI_BODY
+    + r"|(?-i:" + A.NOISE_CS_BODY + r"))"
+    + r"|" + _ANCHOR_ALTERNATION + r")",
     re.IGNORECASE,
 )
 _COVER = A.RE_COVER_NOISE
@@ -94,9 +107,14 @@ class _DocState:
         return self.rows
 
 
-def _process_rows(ds: _DocState, kinds, texts, medias, pages) -> None:
-    """Advance one document's FSM over a run of rows (already in order)."""
-    match = _COMBINED.match
+def _process_rows(ds: _DocState, kinds, texts, medias, pages,
+                  match=None) -> None:
+    """Advance one document's FSM over a run of rows (already in order).
+
+    ``match`` defaults to the noise-free classifier (for pre-filtered
+    line streams); the packed kernel passes the fused noise-aware one.
+    """
+    match = match or _COMBINED.match
     cover = _COVER.match
     state = ds.state
     cur = ds.cur
@@ -135,6 +153,8 @@ def _process_rows(ds: _DocState, kinds, texts, medias, pages) -> None:
             continue
 
         g = m.lastgroup
+        if g == "noise":
+            continue  # always-ignored boilerplate (:200-202)
         if g == "qnum":
             rem = line[m.end():].strip()
             if ":" not in line and not rem:
