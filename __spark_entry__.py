@@ -432,6 +432,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_rollup"] = lang_rollup
 
+    # — J7 left join w/ fallback (job→exams lookup pattern) —
+    def j7_left_join(spark, sf):
+        ev = _docs(spark, sf, "events")
+        cust = _docs(spark, sf, "customer")
+        j = ev.join(
+            F.broadcast(cust), ev.user_id == cust.c_custkey, "left"
+        )
+        return j.groupBy(
+            F.col("c_mktsegment").isNotNull().alias("matched")
+        ).agg(F.count("*").alias("n_events"))
+
+    q["j7_left_join"] = j7_left_join
+
+    # — A5/A6 capped-sum computed field (anomaly_score pattern) —
+    def a5_capped_sum(spark, sf):
+        li = _docs(spark, sf, "lineitem")
+        return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+            F.least(F.lit(100.0), F.sum("l_quantity")).alias("capped_qty"),
+            F.count("*").alias("n_items"),
+        )
+
+    q["a5_capped_sum"] = a5_capped_sum
+
+    # — §2.7 JSON scalar (to_json/from_json surface) —
+    def s_json_extract(spark, sf):
+        ev = _docs(spark, sf, "events")
+        return (
+            ev.select(
+                F.get_json_object("props", "$.k").cast("int").alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    q["s_json_extract"] = s_json_extract
+
     # — training-data: quality scoring (textstats.quality_score) —
     def text_quality(spark, sf):
         from pdf_parser_python_spark.operators.textstats import quality_score
@@ -680,6 +716,22 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks,
                    n_chars AS n_chars
             FROM documents
+        """,
+        "j7_left_join": """
+            SELECT c_mktsegment IS NOT NULL AS matched,
+                   count(*) AS n_events
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY 1
+        """,
+        "a5_capped_sum": """
+            SELECT l_orderkey AS orderkey,
+                   least(100.0, sum(l_quantity)) AS capped_qty,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "s_json_extract": """
+            SELECT json_extract(props, '$.k')::int AS k, count(*) AS cnt
+            FROM events GROUP BY 1
         """,
         "text_quality": """
             WITH s AS (
