@@ -94,10 +94,28 @@ class ExtractionJob:
             F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
         )
 
+    def _stage_input(self, documents: DataFrame) -> str:
+        """One-time ingest normalization: write the input partitioned by
+        bucket so every per-bucket pass is partition-pruned instead of a
+        full-corpus scan (the parquet stand-in for an Iceberg table
+        partitioned on bucket(doc_id)). Idempotent via a _STAGED marker.
+        """
+        staged = os.path.join(self.out_dir, "input_bucketed")
+        marker = os.path.join(staged, "_STAGED")
+        if not os.path.exists(marker):
+            self._bucketed(documents).write.mode("overwrite").partitionBy(
+                "bucket"
+            ).parquet(staged)
+            with open(marker, "w") as fh:
+                fh.write("ok\n")
+        return staged
+
     def _write_bucket(self, bucket: int, docs: DataFrame) -> dict:
         t0 = time.perf_counter()
-        n_docs = docs.count()
-        n_spans_in = docs.select(F.sum(F.size("spans"))).first()[0] or 0
+        m = docs.agg(
+            F.count("*").alias("d"), F.sum(F.size("spans")).alias("s")
+        ).first()
+        n_docs, n_spans_in = m["d"], m["s"] or 0
 
         raw = pipeline.parse_raw(docs)
         qdir = os.path.join(self.questions_dir, f"bucket={bucket}")
@@ -142,10 +160,20 @@ class ExtractionJob:
         pending = self.pending_buckets()
         if max_buckets is not None:
             pending = pending[:max_buckets]
-        bucketed = self._bucketed(documents)
+        spark = documents.sparkSession
+        staged = self._stage_input(documents)
         processed = []
         for b in pending:
-            docs_b = bucketed.where(F.col("bucket") == b).drop("bucket")
+            bdir = os.path.join(staged, f"bucket={b}")
+            if not os.path.exists(bdir):  # hash range empty at this size
+                self._append_lineage({
+                    "partition_id": b, "status": "done", "docs_parsed": 0,
+                    "spans_emitted": 0, "questions_emitted": 0,
+                    "parse_failures": 0, "wall_sec": 0.0, "input_spans": 0,
+                })
+                processed.append(b)
+                continue
+            docs_b = spark.read.parquet(bdir)
             try:
                 row = self._write_bucket(b, docs_b)
             except Exception as exc:  # never lose prior commits
@@ -172,18 +200,16 @@ class ExtractionJob:
 
     # ── results ──────────────────────────────────────────────────────
 
+    def _read_done(self, spark: SparkSession, base: str) -> DataFrame:
+        paths = [
+            p
+            for b in sorted(self.done_buckets())
+            if os.path.exists(p := os.path.join(base, f"bucket={b}"))
+        ]
+        return spark.read.option("basePath", base).parquet(*paths)
+
     def questions(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.questions_dir).parquet(
-            *[
-                os.path.join(self.questions_dir, f"bucket={b}")
-                for b in sorted(self.done_buckets())
-            ]
-        )
+        return self._read_done(spark, self.questions_dir)
 
     def flat_spans(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", self.spans_dir).parquet(
-            *[
-                os.path.join(self.spans_dir, f"bucket={b}")
-                for b in sorted(self.done_buckets())
-            ]
-        )
+        return self._read_done(spark, self.spans_dir)
