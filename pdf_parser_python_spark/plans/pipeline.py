@@ -113,6 +113,10 @@ def parse_raw(
     if engine == "packed":
         proj = dkernel.packed_projection(documents)
         return proj.mapInPandas(dkernel.parse_docs, schema=schema.QUESTION_RAW)
+    if engine == "native":
+        from ..operators.native import parse_native
+
+        return parse_native(tokenize(documents))
     lines = tokenize(documents)
     if engine == "grouped":
         grouped = (

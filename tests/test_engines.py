@@ -26,7 +26,8 @@ def test_engines_agree(spark):
     packed = _flat(spark, docs, "packed")
     partition = _flat(spark, docs, "partition")
     grouped = _flat(spark, docs, "grouped")
-    assert packed == partition == grouped
+    native = _flat(spark, docs, "native")
+    assert packed == partition == grouped == native
     assert len(packed) > 200
 
 
