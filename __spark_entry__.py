@@ -219,8 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.array_sort(
                     F.array_except(F.sequence("mn", "mx"), F.col("actual"))
                 )
-            ).alias("missing_size")
-        )
+            ).alias("ms")
+        ).select(F.col("ms").cast("bigint").alias("missing_size"))
 
     q["j4_gaps"] = j4_gaps
 
@@ -251,7 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 F.col("user_id").alias("user_id"),
                 F.col("event_id").alias("event_id"),
-                F.row_number().over(w).alias("order_index"),
+                F.row_number().over(w).cast("bigint").alias("order_index"),
             )
         )
 
@@ -376,7 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("rk") <= 3)
             .select(
                 F.col("o_custkey").alias("custkey"),
-                F.col("rk").alias("rk"),
+                F.col("rk").cast("bigint").alias("rk"),
                 F.col("o_orderkey").alias("orderkey"),
             )
         )
@@ -391,7 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 F.col("doc_id").alias("doc_id"),
                 F.md5(F.col("text")).alias("text_md5"),
-                F.length("text").alias("text_len"),
+                F.length("text").cast("bigint").alias("text_len"),
             )
         )
 
@@ -415,8 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf, "documents")
         return d.select(
             F.col("doc_id").alias("doc_id"),
-            F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
-            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)).alias("n_sentence_marks"),
+            F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)).cast("bigint").alias("n_sentence_marks"),
             F.col("n_chars").alias("n_chars"),
         )
 
@@ -571,7 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 10)
-            .select("rank", "vec_id")
+            .select(F.col("rank").cast("bigint").alias("rank"), "vec_id")
         )
 
     q["sim_topk"] = sim_topk
@@ -595,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "a3_conditional": """
             SELECT o_orderstatus AS status,
                    count(*) AS n_total,
-                   sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+                   sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
                    round(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
                          * 100.0 / count(*), 2) AS pct_big
             FROM orders GROUP BY o_orderstatus
@@ -656,7 +656,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, event_id,
                        sum(is_new) OVER (PARTITION BY user_id
                                          ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
+                                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
                 FROM g)
             SELECT user_id AS user_id, session_id AS session_id,
                    count(*) AS n_events, min(event_id) AS min_event_id
