@@ -107,7 +107,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "orphan_images", "success_rate",
         )
 
+    def extract_questions_native(spark, sf):
+        # pure-Catalyst FSM engine (operators/native.py) — same output
+        _ensure_shipped(spark)
+        return pipeline.extract_questions(
+            _spans_table(spark, sf), engine="native"
+        ).select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "anomaly_score",
+        )
+
     q["extract_questions"] = extract_questions
+    q["extract_questions_native"] = extract_questions_native
     q["extract_flat_spans"] = extract_flat_spans
     q["extract_validation"] = extract_validation
 
