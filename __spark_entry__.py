@@ -299,6 +299,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["w3_sessionize"] = w3_sessionize
 
+    # — W event-time tumbling bucket rollup (batch twin of the
+    #   streaming watermarked aggregation in streaming/windows.py) —
+    def w_window_agg(spark, sf):
+        ev = _docs(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute"),
+                F.col("event_type").alias("event_type"),
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    q["w_window_agg"] = w_window_agg
+
     # — F5 repeat-image filter analogue: drop over-frequent keys —
     def f5_repeat_filter(spark, sf):
         li = _docs(spark, sf, "lineitem")
@@ -672,6 +689,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS user_id, session_id AS session_id,
                    count(*) AS n_events, min(event_id) AS min_event_id
             FROM s GROUP BY user_id, session_id
+        """,
+        "w_window_agg": """
+            SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute,
+                   event_type AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "f5_repeat_filter": """
             WITH logos AS (

@@ -118,17 +118,21 @@ def main() -> None:
         int(os.environ.get("BENCH_SCALE_4N", "8")),
     )
     runs = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
-    thr = {}
-    for cores in (n_small, n_big):
-        s = session(cores)
-        s.sparkContext.setLogLevel("ERROR")
-        entrymod._ensure_shipped(s)
-        warmup(s)
-        c = s.read.parquet(CORPUS)
-        best = min(run_to_noop(pipeline.extract_flat_spans(c))
-                   for _ in range(runs))
-        thr[cores] = n_docs / best
-        s.stop()
+    # interleave the two levels so both sample the same co-tenant noise
+    # regime (a block of slow minutes otherwise poisons one side only)
+    best = {n_small: float("inf"), n_big: float("inf")}
+    for _ in range(runs):
+        for cores in (n_small, n_big):
+            s = session(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            entrymod._ensure_shipped(s)
+            warmup(s)
+            c = s.read.parquet(CORPUS)
+            best[cores] = min(
+                best[cores], run_to_noop(pipeline.extract_flat_spans(c))
+            )
+            s.stop()
+    thr = {cores: n_docs / t for cores, t in best.items()}
 
     eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
 
