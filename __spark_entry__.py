@@ -496,6 +496,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s_json_extract"] = s_json_extract
 
+    # — §2.7 sampling: reference assigns free/premium via
+    #   random.sample (laravel_bridge.py:108-128, nondeterministic);
+    #   re-expressed as a pinned content-hash split so it is identical
+    #   across engines, partitionings and cluster sizes —
+    def s_sample_assign(spark, sf):
+        d = _docs(spark, sf, "documents")
+        level = F.when(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "5",
+            "free",
+        ).otherwise("premium")
+        return d.groupBy(level.alias("access_level")).agg(
+            F.count("*").alias("n_docs")
+        )
+
+    q["s_sample_assign"] = s_sample_assign
+
     # — training-data: quality scoring (textstats.quality_score) —
     def text_quality(spark, sf):
         from pdf_parser_python_spark.operators.textstats import quality_score
@@ -767,6 +783,12 @@ def oracle_sql() -> dict[str, str]:
         "s_json_extract": """
             SELECT json_extract(props, '$.k')::int AS k, count(*) AS cnt
             FROM events GROUP BY 1
+        """,
+        "s_sample_assign": """
+            SELECT CASE WHEN substr(md5(doc_id::varchar), 1, 1) < '5'
+                        THEN 'free' ELSE 'premium' END AS access_level,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
         """,
         "text_quality": """
             WITH s AS (
