@@ -570,6 +570,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_lsh_topk"] = sim_lsh_topk
 
+    # — training-data: IVF ANN (rows-only; deterministic centroids) —
+    def sim_ivf_topk(spark, sf):
+        from pdf_parser_python_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(_docs(spark, sf, "embeddings"), 0, k=10,
+                        n_cells=8, n_probe=3)
+
+    q["sim_ivf_topk"] = sim_ivf_topk
+
     # — multimodal plumbing (rows-only; payload decode is stubbed) —
     def media_features(spark, sf):
         from pdf_parser_python_spark.operators import media

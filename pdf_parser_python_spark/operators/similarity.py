@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 - :func:`cosine_topk` — exact brute force: broadcast the query vector,
   one narrow pass, global top-k via window. The baseline and the
@@ -10,7 +10,10 @@ Two paths:
   hyperplanes; the query probes its own bucket plus all 1-bit-flip
   buckets (multi-probe), then ranks candidates exactly. At cluster
   scale the bucket join replaces the full scan: candidates ≈ n / 2^P
-  per probe instead of n.
+  per probe instead of n;
+- :func:`ivf_topk` — inverted-file ANN: deterministic centroid cells,
+  n_probe nearest cells scanned, exact rerank — at scale the
+  assignment table is partitioned by cell so probes partition-prune.
 
 All dot products run as native zip_with/aggregate over doubles — no
 UDF, no Python in the scoring loop. Hyperplanes are seeded-hash
@@ -134,6 +137,98 @@ def lsh_bucket_topk(
     cand = sigs.where(F.col("vec_id") != query_vec_id).join(
         F.broadcast(probe_df), "sig"
     )
+    scored = cand.select(
+        "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", F.round("score", 4).alias("score"))
+    )
+
+
+# ── IVF (inverted-file) ANN ──────────────────────────────────────────────
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Partition vectors into cells around deterministic centroids.
+
+    Centroids are the ``n_cells`` vectors with the smallest
+    ``xxhash64(vec_id)`` — a seedless, partitioning-independent sample
+    (no k-means iterations: at corpus scale the IVF list structure
+    matters more than centroid quality, and determinism is a gate
+    requirement). Assignment = argmin centroid distance, computed as a
+    native expression per row.
+    """
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [(int(r[id_col]), [float(x) for x in r[vec_col]]) for r in seeds]
+
+    def dist2(c_vec: list[float]) -> Column:
+        c = F.array(*[F.lit(x) for x in c_vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"), c,
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.struct(dist2(centroids[0][1]).alias("d"), F.lit(0).alias("cell"))
+    for i, (_, cv) in enumerate(centroids[1:], start=1):
+        cand = F.struct(dist2(cv).alias("d"), F.lit(i).alias("cell"))
+        best = F.when(cand["d"] < best["d"], cand).otherwise(best)
+
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        best["cell"].alias("cell"),
+    )
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the ``n_probe`` cells nearest the query,
+    exact cosine rerank inside them. At cluster scale the assignment
+    table is written partitioned by cell, so a probe is a partition-
+    pruned scan of ~n_probe/n_cells of the corpus."""
+    assigned, centroids = ivf_assignments(embeddings, n_cells, id_col, vec_col)
+
+    qrow = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    ).first()
+    qv = [float(x) for x in qrow["qvec"]]
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(qv, centroids[i][1])),
+    )
+    probe = ranked[:n_probe]
+
+    qdf = embeddings.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    cand = assigned.where(
+        F.col("cell").isin(probe) & (F.col("vec_id") != query_vec_id)
+    ).crossJoin(F.broadcast(qdf))
     scored = cand.select(
         "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score")
     )

@@ -107,3 +107,30 @@ def test_media_pipeline(spark):
     for f in feats:
         assert len(f.features) == 16 and f.n_bytes > 0
         assert 0.0 <= f.entropy_proxy <= 1.5
+
+
+def test_ivf_topk(spark):
+    import random
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base)] + [
+        (i, [x + rng.uniform(-0.02 * i, 0.02 * i) for x in base])
+        for i in range(1, 20)
+    ] + [(200 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = similarity.cosine_topk(emb, 0, k=5).collect()
+    ivf = similarity.ivf_topk(emb, 0, k=5, n_cells=6, n_probe=3).collect()
+    assert len(ivf) == 5
+    exact_scores = {r.vec_id: r.score for r in exact}
+    # the planted nearest neighbor lives in the query's own cell
+    assert ivf[0].vec_id == exact[0].vec_id == 1
+    for r in ivf:  # rerank scores are exact
+        if r.vec_id in exact_scores:
+            assert r.score == exact_scores[r.vec_id]
+    # determinism across repartitioning
+    ivf2 = similarity.ivf_topk(emb.repartition(7), 0, k=5, n_cells=6,
+                               n_probe=3).collect()
+    assert [(r.rank, r.vec_id) for r in ivf2] == [
+        (r.rank, r.vec_id) for r in ivf]
