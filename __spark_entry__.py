@@ -562,6 +562,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    # — training-data: embedding-cosine near-dup pairs (rows-only) —
+    def dedup_embedding(spark, sf):
+        from pdf_parser_python_spark.operators.dedup import embedding_near_dups
+
+        emb = _docs(spark, sf, "embeddings")
+        # plant exact dupes so the corpus has guaranteed pairs
+        twin = emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        ).limit(50)
+        return embedding_near_dups(
+            emb.select("vec_id", "embedding", "label").unionByName(twin),
+            threshold=0.99,
+        )
+
+    q["dedup_embedding"] = dedup_embedding
+
     # — training-data: LSH-bucketed ANN (rows-only; exact-score rerank) —
     def sim_lsh_topk(spark, sf):
         from pdf_parser_python_spark.operators.similarity import lsh_bucket_topk

@@ -9,7 +9,9 @@ Four tiers, all shuffle-aware:
   bucket keys instead of an O(n²) cross join;
 - simhash: 64-bit near-dup signature (Hamming-ball grouping via
   rotated prefix buckets);
-- n-gram Jaccard: exact verification of candidate pairs.
+- n-gram Jaccard: exact verification of candidate pairs;
+- embedding-cosine: hyperplane-bucketed near-dup pairs over an
+  embedding column, exact cosine only inside candidate sets.
 
 Hash functions are xxhash64 with fixed seeds — deterministic across
 partitioning and cluster size.
@@ -223,4 +225,59 @@ def ngram_jaccard(
         "doc_a",
         "doc_b",
         F.round(inter / F.greatest(union, F.lit(1)), 4).alias("jaccard"),
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Scale shape mirrors minhash-LSH: random-hyperplane signatures
+    bucket the vectors (near-identical embeddings share sign bits with
+    high probability), candidate pairs come from bucket equi-joins on
+    the signature and all its 1-bit flips, and the exact cosine runs
+    only inside candidate sets — never the O(n²) cross join.
+    Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine ≥
+    threshold, rounded to 4 decimals.
+    """
+    from .similarity import cosine, hyperplanes, lsh_signature
+
+    dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = hyperplanes(dim, n_planes)
+    sigs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    # each vector lands in its own bucket + every 1-bit flip, so any
+    # pair within Hamming distance 1 of signatures meets in ≥1 bucket
+    probes = F.array_union(
+        F.array(F.col("sig")),
+        F.array(*[F.col("sig").bitwiseXOR(F.lit(1 << p))
+                  for p in range(n_planes)]),
+    )
+    exploded = sigs.select(
+        "vid", "vec", F.explode(probes).alias("bucket")
+    )
+    a, b = exploded.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bucket") == F.col("b.sig"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )

@@ -134,3 +134,22 @@ def test_ivf_topk(spark):
                                n_probe=3).collect()
     assert [(r.rank, r.vec_id) for r in ivf2] == [
         (r.rank, r.vec_id) for r in ivf]
+
+
+def test_embedding_near_dups(spark):
+    import random
+
+    rng = random.Random(23)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    near = [x + rng.uniform(-0.005, 0.005) for x in base]
+    rows = [(1, base), (2, near), (3, [x for x in base])] + [
+        (50 + i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.vec_a, r.vec_b): r.cosine
+             for r in dedup.embedding_near_dups(emb, threshold=0.98).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.98
+    assert (1, 3) in pairs and pairs[(1, 3)] == 1.0
+    assert all(a < b for a, b in pairs)
+    # random pairs shouldn't clear a 0.98 cosine bar
+    assert not any(a >= 50 and b >= 50 for a, b in pairs)
