@@ -473,6 +473,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["j7_left_join"] = j7_left_join
 
+    # — J6 same-page diagnostic lookup: per event, how many other
+    #   events the same user fired in the same minute —
+    def j6_same_page(spark, sf):
+        from pyspark.sql.window import Window
+
+        ev = _docs(spark, sf, "events").withColumn(
+            "minute", F.date_format("ts", "yyyy-MM-dd HH:mm")
+        )
+        w = Window.partitionBy("user_id", "minute")
+        return ev.select(
+            F.col("event_id").alias("event_id"),
+            (F.count("*").over(w) - 1).cast("bigint").alias("n_siblings"),
+        )
+
+    q["j6_same_page"] = j6_same_page
+
     # — A5/A6 capped-sum computed field (anomaly_score pattern) —
     def a5_capped_sum(spark, sf):
         li = _docs(spark, sf, "lineitem")
@@ -798,6 +814,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events LEFT JOIN customer ON user_id = c_custkey
             GROUP BY 1
+        """,
+        "j6_same_page": """
+            SELECT event_id AS event_id,
+                   (count(*) OVER (PARTITION BY user_id,
+                                   strftime(ts, '%Y-%m-%d %H:%M')) - 1)::BIGINT
+                       AS n_siblings
+            FROM events
         """,
         "a5_capped_sum": """
             SELECT l_orderkey AS orderkey,

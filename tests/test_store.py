@@ -36,3 +36,20 @@ def test_round_trip_identity(spark):
 
     back = store.hydrate(tables)
     assert _canon(back.collect()) == _canon(qs.collect())
+
+
+def test_json_sink_round_trip(spark, tmp_path):
+    """S5: JSON sink/source (reference engine.py:206-223 wrote parse
+    results as JSON files)."""
+    corpus = [("js-1", generate_doc_spans(42, mean_questions=3))]
+    docs = spark.createDataFrame(corpus, schema=schema.DOCUMENT_SPANS_EXT)
+    flat = pipeline.extract_flat_spans(docs)
+    out = str(tmp_path / "spans_json")
+    flat.write.json(out)
+    back = spark.read.json(out)
+    assert back.count() == flat.count()
+    a = sorted((r.seq, r.order, r.section, r.kind, r.text, r.media_ref)
+               for r in flat.collect())
+    b = sorted((r.seq, r.order, r.section, r.kind, r.text, r.media_ref)
+               for r in back.collect())
+    assert a == b
