@@ -117,24 +117,36 @@ def main() -> None:
         int(os.environ.get("BENCH_SCALE_N", "2")),
         int(os.environ.get("BENCH_SCALE_4N", "8")),
     )
-    runs = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
-    # interleave the two levels so both sample the same co-tenant noise
-    # regime (a block of slow minutes otherwise poisons one side only)
+    runs = int(os.environ.get("BENCH_SCALE_RUNS", "4"))
+    # The host is shared: a co-tenant spike during one level's run
+    # poisons a naive best-of comparison. So measure the two levels in
+    # adjacent PAIRS (same noise regime) and take the MEDIAN paired
+    # efficiency — robust to a spike landing inside any single run.
     best = {n_small: float("inf"), n_big: float("inf")}
+    pair_eff = []
     for _ in range(runs):
+        t_pair = {}
         for cores in (n_small, n_big):
             s = session(cores)
             s.sparkContext.setLogLevel("ERROR")
             entrymod._ensure_shipped(s)
             warmup(s)
             c = s.read.parquet(CORPUS)
-            best[cores] = min(
-                best[cores], run_to_noop(pipeline.extract_flat_spans(c))
-            )
+            t_pair[cores] = run_to_noop(pipeline.extract_flat_spans(c))
+            best[cores] = min(best[cores], t_pair[cores])
             s.stop()
+        pair_eff.append(
+            (t_pair[n_small] / t_pair[n_big]) / (n_big / n_small)
+        )
     thr = {cores: n_docs / t for cores, t in best.items()}
 
-    eff = (thr[n_big] / thr[n_small]) / (n_big / n_small)
+    pair_eff.sort()
+    mid = len(pair_eff) // 2
+    eff = (
+        pair_eff[mid]
+        if len(pair_eff) % 2
+        else (pair_eff[mid - 1] + pair_eff[mid]) / 2
+    )
 
     out = {
         "metric": "headline_queries_wall_sec",
