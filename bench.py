@@ -24,7 +24,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 N_DOCS = int(os.environ.get("BENCH_DOCS", str(int(200000 * SF))))
-CORPUS = f"/tmp/bench_corpus_{N_DOCS}.parquet"
+# grammar version in the cache name: editing the synthetic generator
+# must invalidate the materialized corpus
+from pdf_parser_python_spark.sources.spans import GRAMMAR_VERSION  # noqa: E402
+
+CORPUS = f"/tmp/bench_corpus_v{GRAMMAR_VERSION}_{N_DOCS}.parquet"
 
 HEADLINE = [
     "extract_questions", "extract_flat_spans", "extract_validation",

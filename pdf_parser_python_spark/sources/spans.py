@@ -143,7 +143,7 @@ def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> Da
 
 # ── 3. distributed seeded generator (differential / skew testing) ───────
 
-GRAMMAR_VERSION = 1
+GRAMMAR_VERSION = 2
 
 
 def generate_doc_spans(doc_index: int, mean_questions: int = 12,
