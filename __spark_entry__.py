@@ -60,7 +60,7 @@ def _spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_* query reuses the same input.
     """
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    cache = f"/tmp/pdfp_exam_spans_{tag}.parquet"
+    cache = f"/tmp/pdfp_exam_spans_v{_sources.EXAM_SPANS_VERSION}_{tag}.parquet"
     if not os.path.exists(cache):
         _sources.exam_spans_from_documents(
             _docs(spark, sf_dir, "documents")
@@ -665,7 +665,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdf_parser_python_spark.functions import oracle as _oracle
+
     return {
+        # — flagship extraction: the FSM decomposed into window cumsums
+        #   + ordered string_agg (same decomposition operators/native.py
+        #   proves on the Spark side), over the identical synthesized
+        #   spans input (functions/oracle.py) —
+        "extract_questions": _oracle.extract_questions_sql(),
+        "extract_questions_native": _oracle.extract_questions_sql(),
+        "extract_flat_spans": _oracle.extract_flat_spans_sql(),
+        "extract_validation": _oracle.extract_validation_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

@@ -120,6 +120,13 @@ J_NOISE_CS = "(?U)" + NOISE_CS
 J_COVER_NOISE = "(?U)" + COVER_NOISE
 
 
+#: Clamp for parsed question numbers: the reference's Python int is
+#: unbounded, but Arrow/Catalyst carry int64. Any anchor number with
+#: more than 18 digits is clamped to this value by EVERY engine (so the
+#: engines-agree invariant holds and no kernel can overflow/crash).
+QNUM_CAP = 10**18 - 1
+
+
 def is_noise_line(line: str) -> bool:
     """Always-ignored boilerplate check (python side)."""
     return bool(RE_NOISE_CI.match(line) or RE_NOISE_CS.match(line))

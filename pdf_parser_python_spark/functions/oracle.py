@@ -1,0 +1,286 @@
+"""DuckDB oracle SQL for the flagship extraction queries.
+
+The driver hash-checks every ``queries()`` entry against an ANSI-SQL
+oracle run by DuckDB on the same parquet tables. The extraction core is
+a stateful FSM, but — as :mod:`..operators.native` proves — it
+decomposes into window cumsums + ordered aggregation, all expressible
+in DuckDB SQL. This module re-expresses that decomposition (same
+grammar constants from :mod:`.anchors`, so the dialects cannot drift):
+
+1. synthesize the post-header line stream of
+   :func:`..sources.spans.exam_spans_from_documents` directly in SQL
+   (everything before the first question anchor is provably dropped by
+   the FSM's pre-amble skip, so header/cover lines need not be
+   generated);
+2. tokenize-equivalent noise filter (F2);
+3. per-line anchor classification (W3 phase 1);
+4. window-based segmentation + section assignment
+   (mirrors ``operators/native.py:parse_native`` clause by clause);
+5. ordered ``string_agg`` assembly + finalize rules (F8/F9, anomaly
+   scoring) and the §1.4 canonical flatten.
+
+Dialect notes (Java/Python regex ↔ RE2): DuckDB uses RE2, whose ``\\s``
+is ASCII-only — safe here because the testdata document text is pure
+ASCII (verified) and the synthesized lines are built from it;
+``(?i)`` replaces Java's ``(?iU)`` (RE2 has no ``U`` flag and is
+Unicode-native already).
+"""
+
+from __future__ import annotations
+
+from . import anchors as A
+
+# ── RE2 forms of the shared grammar ──────────────────────────────────────
+
+R2_QUESTION = "(?i)" + A.QUESTION
+R2_SOLO = "(?i)" + A.SOLO_QUESTION
+R2_OPTION = A.OPTION
+R2_ANSWER = "(?i)" + A.ANSWER
+R2_EXPLANATION = "(?i)" + A.EXPLANATION
+R2_HOTSPOT = "(?i)" + A.HOTSPOT
+R2_COVER = A.COVER_NOISE
+R2_NOISE_CI = "(?i)" + A.NOISE_CI
+R2_NOISE_CS = A.NOISE_CS
+
+_QNUM_CAP = A.QNUM_CAP
+
+
+def _fsm_ctes(q: int = 8) -> str:
+    """The shared WITH-chain: documents → classified, segmented lines.
+
+    Produces CTE ``fsm`` with one row per surviving line and columns
+    (doc_id, idx, kind, line, media, qn, is_q, okey, opt_valid,
+    hot_valid, is_ans, is_exp, seg, sec, oi, frag).
+    """
+    pad_len = 64 * (q + 2)
+    return f"""
+docs AS (
+    SELECT doc_id::VARCHAR AS doc_id,
+           rpad(coalesce(text, ''), {pad_len}, 'lorem ipsum dolor sit amet ') AS padded,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 99991 AS dnum
+    FROM documents),
+qrows AS (
+    SELECT doc_id, dnum, n,
+           trim(substr(padded, ((n % 40) * 13) + 1, 160))         AS body,
+           trim(substr(padded, (((n + 1) % 40) * 13) + 1, 40))    AS oa,
+           trim(substr(padded, (((n + 2) % 40) * 13) + 1, 40))    AS ob,
+           trim(substr(padded, (((n + 3) % 40) * 13) + 1, 40))    AS oc,
+           trim(substr(padded, (((n + 4) % 40) * 13) + 1, 40))    AS od,
+           trim(substr(padded, (((n + 5) % 40) * 13) + 1, 120))   AS expl,
+           (['A','B','C','D'])[((dnum + n) % 4) + 1]              AS letter,
+           ((dnum + n) % 3) = 0                                   AS has_img
+    FROM docs, (SELECT unnest(generate_series(1, {q})) AS n)),
+rawlines0 AS (
+    SELECT doc_id, n, unnest(list_filter([
+        {{'k': 1, 'kind': 'text',  'line': 'Question: ' || n::VARCHAR, 'media': ''}},
+        {{'k': 2, 'kind': 'text',  'line': body,         'media': ''}},
+        {{'k': 3, 'kind': 'text',  'line': 'A. ' || oa,  'media': ''}},
+        {{'k': 4, 'kind': 'text',  'line': 'B. ' || ob,  'media': ''}},
+        {{'k': 5, 'kind': 'text',  'line': 'C. ' || oc,  'media': ''}},
+        {{'k': 6, 'kind': 'text',  'line': 'D. ' || od,  'media': ''}},
+        CASE WHEN has_img THEN
+            {{'k': 7, 'kind': 'image', 'line': '',
+              'media': 'img://' || doc_id || '/' || n::VARCHAR}} END,
+        {{'k': 8, 'kind': 'text',  'line': 'Answer: ' || letter,      'media': ''}},
+        {{'k': 9, 'kind': 'text',  'line': 'Explanation: ' || expl,   'media': ''}}
+    ], x -> x IS NOT NULL)) AS u
+    FROM qrows),
+-- tokenize parity: trim/empty-drop (lines are born trimmed) + F2 noise
+lines AS (
+    SELECT doc_id, (n * 16 + u.k)::BIGINT AS idx,
+           u.kind AS kind, u.line AS line, u.media AS media
+    FROM rawlines0
+    WHERE u.kind = 'image'
+       OR (u.line <> ''
+           AND NOT regexp_matches(u.line, '{R2_NOISE_CI}')
+           AND NOT regexp_matches(u.line, '{R2_NOISE_CS}'))),
+-- W3 phase 1: per-line classification (operators/native.py:50-73)
+c1 AS (
+    SELECT *,
+           CASE WHEN kind = 'text'
+                THEN coalesce(regexp_extract(line, '{R2_QUESTION}', 1), '')
+                ELSE '' END AS qnum_s,
+           kind = 'text' AND regexp_matches(line, '{R2_HOTSPOT}') AS hot_m,
+           CASE WHEN kind = 'text'
+                THEN upper(coalesce(regexp_extract(line, '{R2_OPTION}', 1), ''))
+                ELSE '' END AS okey_raw,
+           kind = 'text' AND regexp_matches(line, '{R2_ANSWER}') AS ans_m,
+           kind = 'text' AND regexp_matches(line, '{R2_EXPLANATION}') AS exp_m,
+           kind = 'text' AND regexp_matches(line, '{R2_SOLO}')
+                AND strpos(line, ':') = 0 AS is_solo,
+           kind = 'text' AND regexp_matches(line, '{R2_COVER}') AS is_cover
+    FROM lines),
+c2 AS (
+    SELECT *,
+           qnum_s <> '' AND NOT is_solo AS is_q,
+           CASE WHEN qnum_s <> '' AND NOT is_solo THEN
+               CASE WHEN length(qnum_s) > 18 THEN {_QNUM_CAP}
+                    ELSE qnum_s::BIGINT END END AS qn,
+           qnum_s = '' AND NOT hot_m AND okey_raw <> '' AS is_opt_c,
+           qnum_s = '' AND hot_m AS is_hot,
+           qnum_s = '' AND NOT hot_m AND okey_raw = '' AND ans_m AS is_ans,
+           qnum_s = '' AND NOT hot_m AND okey_raw = '' AND NOT ans_m
+               AND exp_m AS is_exp
+    FROM c1
+    WHERE NOT (qnum_s <> '' AND is_solo)),   -- F10 solo artifacts
+-- F11 pre-amble skip: first effective anchor = first non-cover q-anchor
+c3 AS (
+    SELECT *,
+           min(CASE WHEN is_q AND NOT is_cover THEN idx END)
+               OVER (PARTITION BY doc_id) AS first_eff
+    FROM c2),
+c4 AS (
+    SELECT *,
+           sum(is_q::INT) OVER (PARTITION BY doc_id ORDER BY idx
+                                ROWS UNBOUNDED PRECEDING) AS seg
+    FROM c3
+    WHERE first_eff IS NOT NULL AND idx >= first_eff),
+-- within-segment state cumsums (operators/native.py:99-126)
+c5 AS (
+    SELECT *,
+           coalesce(sum((is_ans OR is_exp)::INT)
+               OVER (PARTITION BY doc_id, seg ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS left_body
+    FROM c4),
+c6 AS (
+    SELECT *, is_opt_c AND left_body = 0 AS opt_valid FROM c5),
+c7 AS (
+    SELECT *,
+           coalesce(sum(opt_valid::INT)
+               OVER (PARTITION BY doc_id, seg ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prior_opts,
+           sum(opt_valid::INT)
+               OVER (PARTITION BY doc_id, seg ORDER BY idx
+                     ROWS UNBOUNDED PRECEDING) AS oi
+    FROM c6),
+fsm AS (
+    SELECT *,
+           is_hot AND left_body = 0 AND prior_opts = 0 AS hot_valid,
+           last_value(CASE WHEN is_q THEN 'question'
+                           WHEN opt_valid THEN 'options'
+                           WHEN is_ans THEN 'answer'
+                           WHEN is_exp THEN 'explanation' END IGNORE NULLS)
+               OVER (PARTITION BY doc_id, seg ORDER BY idx
+                     ROWS UNBOUNDED PRECEDING) AS sec,
+           CASE WHEN kind = 'image' THEN NULL
+                WHEN is_q THEN trim(regexp_replace(line, '{R2_QUESTION}', ''))
+                WHEN opt_valid THEN trim(regexp_replace(line, '{R2_OPTION}', ''))
+                WHEN is_hot AND left_body = 0 AND prior_opts = 0 THEN NULL
+                WHEN is_ans THEN trim(regexp_replace(line, '{R2_ANSWER}', ''))
+                WHEN is_exp THEN trim(regexp_replace(line, '{R2_EXPLANATION}', ''))
+                ELSE line END AS frag
+    FROM c7),
+-- per-question assembly (operators/native.py:155-256) + finalize
+qagg AS (
+    SELECT doc_id, seg,
+           (seg - 1)::INT AS seq,
+           max(CASE WHEN is_q THEN qn END) AS question_number,
+           CASE WHEN bool_or(hot_valid) THEN 'hotspot' ELSE 'mcq' END
+               AS question_type,
+           coalesce(string_agg(CASE WHEN kind = 'text' AND sec = 'question'
+                                    AND frag <> '' THEN frag END,
+                               ' ' ORDER BY idx), '') AS question_text,
+           coalesce(string_agg(CASE WHEN kind = 'text' AND sec = 'answer'
+                                    AND frag <> '' THEN frag END,
+                               ' ' ORDER BY idx), '') AS answer_text,
+           coalesce(string_agg(CASE WHEN kind = 'text' AND sec = 'explanation'
+                                    AND frag <> '' THEN frag END,
+                               ' ' ORDER BY idx), '') AS explanation_raw,
+           count(CASE WHEN kind = 'image' AND sec = 'question' THEN 1 END)::INT
+               AS n_qimgs
+    FROM fsm GROUP BY doc_id, seg),
+questions AS (
+    SELECT *,
+           CASE WHEN trim(explanation_raw) <> ''
+                     AND (regexp_matches(trim(explanation_raw), '{R2_NOISE_CI}')
+                          OR regexp_matches(trim(explanation_raw), '{R2_NOISE_CS}'))
+                THEN '' ELSE explanation_raw END AS explanation_text,
+           least(100,
+                 CASE WHEN trim(question_text) = '' THEN 80 ELSE 0 END
+               + CASE WHEN question_type <> 'hotspot'
+                          AND trim(answer_text) = '' THEN 60 ELSE 0 END
+               + CASE WHEN trim(question_text) = '' AND n_qimgs > 0
+                      THEN 30 ELSE 0 END)::INT AS anomaly_score
+    FROM qagg)
+"""
+
+
+def extract_questions_sql(q: int = 8) -> str:
+    return f"""WITH {_fsm_ctes(q)}
+SELECT doc_id, seq, question_number, question_type,
+       question_text, answer_text, anomaly_score
+FROM questions"""
+
+
+def extract_validation_sql(q: int = 8) -> str:
+    return f"""WITH {_fsm_ctes(q)}
+SELECT doc_id,
+       count(*)::INT AS total_questions_detected,
+       sum((trim(question_text) <> '' AND trim(answer_text) <> '')::INT)::INT
+           AS structured_successfully,
+       sum((trim(question_text) = '' AND n_qimgs > 0)::INT)::INT
+           AS orphan_images,
+       CASE WHEN count(*) > 0 THEN
+           round(sum((trim(question_text) <> '' AND trim(answer_text) <> '')::INT)
+                 * 100.0 / count(*), 2)
+       ELSE 0.0 END AS success_rate
+FROM questions GROUP BY doc_id"""
+
+
+def extract_flat_spans_sql(q: int = 8) -> str:
+    """§1.4 canonical flatten (operators/flatten.py), ordered per branch:
+    question text → question images → per option "K. text" + images →
+    answer text/images → explanation text/images; dense order index."""
+    return f"""WITH {_fsm_ctes(q)},
+optagg AS (
+    SELECT doc_id, seg, oi,
+           max(CASE WHEN opt_valid THEN okey_raw END) AS key,
+           coalesce(string_agg(CASE WHEN kind = 'text' AND frag <> ''
+                                    THEN frag END, ' ' ORDER BY idx), '')
+               AS otext,
+           count(CASE WHEN kind = 'image' THEN 1 END) AS n_imgs
+    FROM fsm WHERE sec = 'options'
+    GROUP BY doc_id, seg, oi),
+-- F8 ghost-option filter
+optkept AS (
+    SELECT * FROM optagg WHERE NOT (trim(otext) = '' AND n_imgs = 0)),
+branches AS (
+    SELECT doc_id, seg, 0 AS r1, 0::BIGINT AS r2, 0::BIGINT AS r3,
+           'question' AS section, 'text' AS kind,
+           question_text AS text, '' AS media_ref
+    FROM questions WHERE question_text <> ''
+    UNION ALL
+    SELECT doc_id, seg, 1, 0, idx, 'question', 'image', '', media
+    FROM fsm WHERE kind = 'image' AND sec = 'question'
+    UNION ALL
+    SELECT doc_id, seg, 2, oi, 0, 'options', 'text',
+           CASE WHEN otext <> '' THEN key || '. ' || otext
+                ELSE key || '.' END, ''
+    FROM optkept
+    UNION ALL
+    SELECT f.doc_id, f.seg, 2, f.oi, f.idx, 'options', 'image', '', f.media
+    FROM fsm f JOIN optkept o
+      ON f.doc_id = o.doc_id AND f.seg = o.seg AND f.oi = o.oi
+    WHERE f.kind = 'image' AND f.sec = 'options'
+    UNION ALL
+    SELECT doc_id, seg, 3, 0, 0, 'answer', 'text', answer_text, ''
+    FROM questions WHERE answer_text <> ''
+    UNION ALL
+    SELECT doc_id, seg, 4, 0, idx, 'answer', 'image', '', media
+    FROM fsm WHERE kind = 'image' AND sec = 'answer'
+    UNION ALL
+    SELECT doc_id, seg, 5, 0, 0, 'explanation', 'text', explanation_text, ''
+    FROM questions WHERE explanation_text <> ''
+    UNION ALL
+    SELECT doc_id, seg, 6, 0, idx, 'explanation', 'image', '', media
+    FROM fsm WHERE kind = 'image' AND sec = 'explanation')
+SELECT b.doc_id,
+       q.seq,
+       q.question_number,
+       b.section, b.kind, b.text, b.media_ref,
+       (row_number() OVER (PARTITION BY b.doc_id, b.seg
+                           ORDER BY b.r1, b.r2, b.r3) - 1)::INT AS "order"
+FROM branches b
+JOIN questions q ON b.doc_id = q.doc_id AND b.seg = q.seg"""

@@ -104,7 +104,11 @@ def classify_lines(text: pd.Series) -> tuple[np.ndarray, np.ndarray, list]:
     codes[q_drop.to_numpy()] = DROP
     qi = q_real.to_numpy().nonzero()[0]
     if len(qi):
-        qnums[qi] = q[q_real].astype(np.int64).to_numpy()
+        # clamp >18-digit numbers (QNUM_CAP) before the int64 cast —
+        # astype would raise on values beyond int64 range
+        qs = q[q_real]
+        qs = qs.mask(qs.str.len() > 18, str(A.QNUM_CAP))
+        qnums[qi] = qs.astype(np.int64).to_numpy()
         rem = text[q_real].str.replace(A.RE_QUESTION, "", n=1, regex=True).str.strip()
         for i, r in zip(qi, rem):
             payload[i] = r

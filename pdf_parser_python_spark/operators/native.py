@@ -64,7 +64,14 @@ def parse_native(lines: DataFrame) -> DataFrame:
     df = (
         lines.where(~(~is_img & is_q_hit & is_solo))  # F10 solo artifacts
         .withColumn("_q", is_q)
-        .withColumn("_qn", F.when(is_q, qnum_s.cast("int")))
+        .withColumn(
+            "_qn",
+            F.when(
+                is_q,
+                F.when(F.length(qnum_s) > 18, F.lit(A.QNUM_CAP))
+                .otherwise(qnum_s.cast("long")),
+            ),
+        )
         .withColumn("_cover", ~is_img & is_cover)
         .withColumn("_okey", F.when(is_opt_c, F.upper(okey)))
         .withColumn("_hot", is_hot_c)

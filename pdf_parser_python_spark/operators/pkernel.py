@@ -165,8 +165,8 @@ def _process_rows(ds: _DocState, kinds, texts, medias, pages,
                 ds.cur = cur
                 ds.flush_question()
             pg = pages[i]
-            cur = [int(m.group("qnum")), "mcq", [], [], [], [], [], [], [],
-                   pg, pg]
+            cur = [min(int(m.group("qnum")), A.QNUM_CAP), "mcq",
+                   [], [], [], [], [], [], [], pg, pg]
             ds.cur = cur
             opt = None
             state = _QBODY

@@ -60,12 +60,23 @@ def validation_report(questions: DataFrame) -> DataFrame:
         .alias("_anomaly_types"),
     )
 
-    # gaps in the detected number sequence (validator.py:69-75)
+    # gaps in the detected number sequence (validator.py:69-75).
+    # Range guard: a garbage anchor like "Question: 999999999999" would
+    # make sequence() allocate the whole range and kill the job (the
+    # reference's set(range(mn, mx+1)) would OOM identically); docs
+    # whose detected range exceeds 1e6 report no gap list instead of
+    # failing — never-fail beats faithful-crash here.
+    sane = (F.col("_mx") - F.col("_mn")) <= 1_000_000
     base = base.withColumn(
         "missing_question_numbers",
-        F.array_sort(
-            F.array_except(F.sequence("_mn", "_mx"), F.col("_actual"))
-        ).cast("array<int>"),
+        F.when(
+            sane,
+            F.array_sort(
+                F.array_except(F.sequence("_mn", "_mx"), F.col("_actual"))
+            ),
+        )
+        .otherwise(F.array())
+        .cast("array<bigint>"),
     )
 
     # duplicates (validator.py:61-67): numbers appearing more than once.

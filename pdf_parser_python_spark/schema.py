@@ -81,7 +81,12 @@ QUESTION_RAW = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("seq", T.IntegerType(), False),  # order within doc
-        T.StructField("question_number", T.IntegerType(), False),
+        # LongType: the reference parses the anchor's \d+ as an
+        # unbounded Python int (no upper bound in any fixture); int32
+        # overflowed at the Arrow boundary on e.g. "Question: 3000000000".
+        # Kernels clamp >18-digit numbers to QNUM_CAP so the job can
+        # never fail on pathological input (north rule: never-fail).
+        T.StructField("question_number", T.LongType(), False),
         T.StructField("question_type", T.StringType(), False),  # mcq|hotspot
         T.StructField("question_text", T.StringType(), False),
         T.StructField("question_images", T.ArrayType(T.StringType()), False),
@@ -109,7 +114,7 @@ ANOMALY = T.StructType(
 FLAT_SPAN = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
-        T.StructField("question_number", T.IntegerType(), False),
+        T.StructField("question_number", T.LongType(), False),
         T.StructField("section", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("text", T.StringType(), False),

@@ -61,6 +61,11 @@ def load_fixture(spark: SparkSession, fixture_dir: str) -> DataFrame:
 
 # ── 2. native derivation from testdata documents.parquet ────────────────
 
+#: bump when the synthesis expression changes — cached derivations
+#: (/tmp parquet materializations) are keyed on it
+EXAM_SPANS_VERSION = 2
+
+
 def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> DataFrame:
     """Deterministically re-shape ``documents(doc_id,text,...)`` into the
     input_hint spans table, entirely with native Column expressions.
@@ -76,7 +81,12 @@ def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> Da
     # pad so substring windows are always non-empty
     padded = F.rpad(txt, 64 * (q + 2), "lorem ipsum dolor sit amet ")
     did = F.col("doc_id").cast("string")
-    dnum = (F.crc32(did) % 99991).cast("int")  # crc32 is BIGINT; keep in int range
+    # md5-derived doc number: reproducible in DuckDB for the oracle SQL
+    # (('0x'||substr(md5(doc_id),1,6))::INT % 99991); 6 hex digits keep
+    # conv()'s string result inside int range in both engines
+    dnum = (
+        F.conv(F.substring(F.md5(did), 1, 6), 16, 10).cast("int") % 99991
+    )
 
     def chunk(i, ln):  # substring window i of width ln
         return F.trim(F.substring(padded, (i % 40) * 13 + 1, ln))
