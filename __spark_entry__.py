@@ -611,12 +611,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
-    # — multimodal plumbing (rows-only; payload decode is stubbed) —
+    # — multimodal plumbing (rows-only; payload decode is gated on
+    #   codec availability). The features array is projected to JSON:
+    #   the driver's canonicalizer sorts/hashes row values and dies on
+    #   an unhashable list —
     def media_features(spark, sf):
         from pdf_parser_python_spark.operators import media
 
         m = media.synthetic_media(spark, 64)
-        return media.extract_features(media.size_filter(m))
+        feats = media.extract_features(media.size_filter(m))
+        return feats.select(
+            "media_ref", "sha256", "n_bytes", "entropy_proxy",
+            F.to_json("features").alias("features_json"),
+        )
 
     q["media_features"] = media_features
 
@@ -652,11 +659,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         from pyspark.sql.window import Window
 
+        # TakeOrderedAndProject (orderBy+limit) instead of a global
+        # row_number window: at corpus scale the window would funnel
+        # every scored row through one partition. The rank window after
+        # the limit only sees 10 rows.
+        take = scored.orderBy(F.col("_cos").desc(), F.col("vec_id")).limit(10)
         w = Window.orderBy(F.col("_cos").desc(), F.col("vec_id"))
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 10)
-            .select(F.col("rank").cast("bigint").alias("rank"), "vec_id")
+        return take.select(
+            F.row_number().over(w).cast("bigint").alias("rank"), "vec_id"
         )
 
     q["sim_topk"] = sim_topk

@@ -120,6 +120,16 @@ J_NOISE_CS = "(?U)" + NOISE_CS
 J_COVER_NOISE = "(?U)" + COVER_NOISE
 
 
+#: Java-regex character class equal to Python ``str.strip()``'s
+#: whitespace set: ASCII \s, the \x1C-\x1F file/group/record/unit
+#: separators (``str.isspace`` counts them; Java's plain \s does NOT),
+#: NEL, NBSP and the unicode Zs spaces PDFs carry. One constant so the
+#: JVM tokenizer and the Python kernels' ``.strip()`` cannot drift.
+J_PY_STRIP_CLASS = (
+    "[\\s\\x1C-\\x1F\\u0085\\u00A0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+
 #: Clamp for parsed question numbers: the reference's Python int is
 #: unbounded, but Arrow/Catalyst carry int64. Any anchor number with
 #: more than 18 digits is clamped to this value by EVERY engine (so the

@@ -93,12 +93,42 @@ def dedup_by_content(media: DataFrame) -> DataFrame:
     )
 
 
+def _fake_features(b: bytes, feature_dim: int) -> list[float]:
+    """Deterministic payload-hash featurization (the no-codec path)."""
+    return [
+        float(zlib.crc32(b, d + 1) % 10_000) / 10_000.0
+        for d in range(feature_dim)
+    ]
+
+
+def _pil_features(b: bytes, feature_dim: int) -> list[float] | None:
+    """Real decode path: grayscale-downsample the image and emit mean
+    pixel intensity per grid cell. Returns None when the payload is not
+    decodable (caller falls back to the hash features so the stage
+    never throws — north rule: per-row failures must not fail the job).
+    """
+    import io
+
+    try:  # pragma: no cover - PIL absent in this container
+        side = max(1, int(feature_dim ** 0.5))
+        img = PIL.Image.open(io.BytesIO(b)).convert("L")
+        img = img.resize((side, side))
+        px = list(img.getdata())
+        feats = [float(p) / 255.0 for p in px]
+        # pad/trim the grid to exactly feature_dim
+        feats = (feats + [0.0] * feature_dim)[:feature_dim]
+        return feats
+    except Exception:
+        return None
+
+
 def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     """Decode + featurize via mapInPandas.
 
-    With codecs present this would decode and embed; here the decode
-    step is a deterministic fake (zlib-crc folding of the payload into
-    `feature_dim` floats) and real pipelines must check HAVE_CODECS.
+    With codecs present (HAVE_CODECS) images are decoded with PIL into
+    a grayscale intensity grid of ``feature_dim`` floats; payloads that
+    fail to decode — and all rows when codec libs are absent, as in
+    this container — get a deterministic payload-hash featurization.
     The batch shape, schema, and partitioning are the production ones.
     """
 
@@ -108,16 +138,9 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload or b"")
                 sha = hashlib.sha256(b).hexdigest()
-                if HAVE_CODECS:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real decode path requires codec libs; "
-                        "wire PIL/librosa here"
-                    )
-                # deterministic fake featurization
-                feats = []
-                for d in range(16):
-                    c = zlib.crc32(b, d + 1)
-                    feats.append(float(c % 10_000) / 10_000.0)
+                feats = _pil_features(b, feature_dim) if HAVE_CODECS else None
+                if feats is None:
+                    feats = _fake_features(b, feature_dim)
                 comp = len(zlib.compress(b)) if b else 0
                 out.append(
                     (

@@ -42,9 +42,27 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with a zero-norm guard: 0/0 would yield NaN,
+    and Spark orders NaN ABOVE every double — an all-zero embedding
+    would top every ranking and pass every >= threshold filter. Zero-
+    norm pairs score -1.0 (below any real cosine) instead."""
     ad = a.cast("array<double>")
     bd = b.cast("array<double>")
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    denom = _norm(ad) * _norm(bd)
+    return F.when(denom > 0, _dot(ad, bd) / denom).otherwise(F.lit(-1.0))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Scale-safe global top-k: ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge) instead
+    of a global row_number window, which would funnel EVERY scored row
+    through a single partition. The rank window afterwards only ever
+    sees k rows."""
+    take = scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return take.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "vec_id", F.round("score", 4).alias("score")
+    )
 
 
 def cosine_topk(
@@ -66,12 +84,7 @@ def cosine_topk(
             cosine(F.col(vec_col), F.col("qvec")).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", F.round("score", 4).alias("score"))
-    )
+    return _topk(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 0x5EED) -> list[list[float]]:
@@ -140,12 +153,7 @@ def lsh_bucket_topk(
     scored = cand.select(
         "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", F.round("score", 4).alias("score"))
-    )
+    return _topk(scored, k)
 
 
 # ── IVF (inverted-file) ANN ──────────────────────────────────────────────
@@ -232,9 +240,4 @@ def ivf_topk(
     scored = cand.select(
         "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("rank", "vec_id", F.round("score", 4).alias("score"))
-    )
+    return _topk(scored, k)

@@ -64,15 +64,13 @@ def tokenize(documents: DataFrame) -> DataFrame:
             "offset",
             "page",
         )
-        # python str.strip() parity: all ASCII whitespace + the common
-        # unicode spaces PDFs carry (NBSP, NEL, ideographic space, Zs)
+        # python str.strip() parity (shared class, anchors.py — includes
+        # the \x1C-\x1F separators Java's \s misses)
         .withColumn(
             "text",
             F.regexp_replace(
                 "line",
-                "^[\\s\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029"
-                "\\u202F\\u205F\\u3000]+|[\\s\\u0085\\u00A0\\u1680"
-                "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+$",
+                f"^{A.J_PY_STRIP_CLASS}+|{A.J_PY_STRIP_CLASS}+$",
                 "",
             ),
         )

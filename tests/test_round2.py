@@ -1,0 +1,122 @@
+"""Round-2 regression tests: scale-safe top-k, NaN cosine guard,
+str.strip() parity for \\x1c-\\x1f, int64 question numbers, media
+feature fixes (VERDICT.md / ADVICE.md round-1 findings)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_python_spark import schema
+from pdf_parser_python_spark.functions import anchors as A
+from pdf_parser_python_spark.operators import media, similarity
+from pdf_parser_python_spark.plans import pipeline
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _emb(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_is_take_ordered_not_global_window(spark):
+    p = _plan(similarity.cosine_topk(_emb(spark), 0, k=5))
+    assert "TakeOrderedAndProject" in p
+    # the only window in the plan runs AFTER the limit (k rows)
+    assert p.find("TakeOrderedAndProject") > p.find("Window")
+
+
+def test_zero_norm_vector_never_tops_ranking(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(10)]
+    rows.append((99, [0.0] * 8))  # all-zero embedding: 0/0 cosine
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(emb, 0, k=9).collect()
+    assert top[0].vec_id != 99  # NaN would have ranked first
+    scores = {r.vec_id: r.score for r in top}
+    assert scores.get(99, -1.0) == -1.0  # guard value, not NaN
+
+
+def test_strip_parity_x1c_separators(spark):
+    """Lines padded with \\x1c-\\x1f (Python-whitespace, not Java \\s)
+    must parse identically in the packed (Python strip) and native
+    (JVM regex strip) engines."""
+    spans = [
+        {"kind": "text", "text": "\x1cQuestion: 1 What is it?\x1d",
+         "media_ref": "", "offset": 0, "page": 1},
+        {"kind": "text", "text": "\x1eA. first\x1f", "media_ref": "",
+         "offset": 1, "page": 1},
+        {"kind": "text", "text": "\x1c\x1d\x1e\x1f", "media_ref": "",
+         "offset": 2, "page": 1},  # whitespace-only → dropped
+        {"kind": "text", "text": "Answer: A", "media_ref": "",
+         "offset": 3, "page": 1},
+    ]
+    d = spark.createDataFrame([("x1c", spans)], schema=schema.DOCUMENT_SPANS_EXT)
+    rows = {}
+    for engine in ("packed", "native", "partition", "grouped"):
+        r = pipeline.extract_questions(d, engine=engine).first()
+        rows[engine] = (r.question_text, r.answer_text,
+                        [(o.key, o.text) for o in r.options])
+    assert rows["packed"] == ("What is it?", "A", [("A", "first")])
+    assert len(set(map(str, rows.values()))) == 1, rows
+
+
+def test_question_number_int64_and_clamp(spark):
+    spans = [
+        {"kind": "text", "text": "Question: 3000000000 big one",
+         "media_ref": "", "offset": 0, "page": 1},
+        {"kind": "text", "text": "Answer: A", "media_ref": "",
+         "offset": 1, "page": 1},
+        {"kind": "text", "text": f"Question: {'9' * 25} huge",
+         "media_ref": "", "offset": 2, "page": 1},
+        {"kind": "text", "text": "Answer: B", "media_ref": "",
+         "offset": 3, "page": 1},
+    ]
+    d = spark.createDataFrame([("big", spans)], schema=schema.DOCUMENT_SPANS_EXT)
+    for engine in ("packed", "native", "partition", "grouped"):
+        got = [r.question_number
+               for r in pipeline.extract_questions(d, engine=engine)
+               .orderBy("seq").collect()]
+        assert got == [3000000000, A.QNUM_CAP], engine
+
+
+def test_media_feature_dim_respected(spark):
+    m = media.synthetic_media(spark, 8)
+    feats = media.extract_features(m, feature_dim=32).collect()
+    assert all(len(f.features) == 32 for f in feats)
+
+
+def test_media_features_driver_row_hashable(spark):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["media_features"](spark, "/root/testdata/sf0.001")
+    pdf = df.toPandas()
+    # the driver canonicalizer sorts row values: everything must hash
+    pdf.sort_values(list(sorted(pdf.columns)))
+    assert pdf["features_json"].str.startswith("[").all()
+
+
+def test_gap_detection_survives_clamped_range(spark):
+    from pdf_parser_python_spark.operators.validate import validation_report
+
+    spans = [
+        {"kind": "text", "text": "Question: 1 a", "media_ref": "",
+         "offset": 0, "page": 1},
+        {"kind": "text", "text": "Answer: A", "media_ref": "", "offset": 1,
+         "page": 1},
+        {"kind": "text", "text": f"Question: {'9' * 25} b", "media_ref": "",
+         "offset": 2, "page": 1},
+        {"kind": "text", "text": "Answer: B", "media_ref": "", "offset": 3,
+         "page": 1},
+    ]
+    d = spark.createDataFrame([("rng", spans)], schema=schema.DOCUMENT_SPANS_EXT)
+    rep = validation_report(pipeline.extract_questions(d)).first()
+    # absurd range: no gap explosion, no job failure, empty list instead
+    assert rep.missing_question_numbers == []
+    assert rep.total_questions_detected == 2
