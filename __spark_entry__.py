@@ -540,17 +540,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality"] = text_quality
 
-    # — training-data: full text profile (fingerprint uses xxhash64 →
-    #   no DuckDB oracle; rows-only) —
+    # — training-data: full text profile (md5-derived fingerprint →
+    #   DuckDB-oracled; counts cast bigint to match the oracle) —
     def text_profile(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
         from pdf_parser_python_spark.operators.textstats import text_profile as tp
 
-        return tp(_docs(spark, sf, "documents"))
+        d = tp(_docs(spark, sf, "documents"), hasher=md5_64)
+        return d.select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_subwords").cast("bigint").alias("n_subwords"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            "lang_guess",
+            F.col("quality").cast("bigint").alias("quality"),
+            "fingerprint",
+        )
 
     q["text_profile"] = text_profile
 
-    # — training-data: minhash-LSH near-dup pairs (rows-only: xxhash64) —
+    # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
         from pdf_parser_python_spark.operators.dedup import minhash_lsh_pairs
 
         d = _docs(spark, sf, "documents")
@@ -560,12 +571,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.col("text"), F.lit(" trailing edit token")).alias("text"),
         )
         both = d.select("doc_id", "text").unionByName(mut)
-        return minhash_lsh_pairs(both, k=32, bands=16, threshold=0.5)
+        return minhash_lsh_pairs(both, k=32, bands=16, threshold=0.5,
+                                 hasher=md5_64)
 
     q["dedup_minhash"] = dedup_minhash
 
-    # — training-data: simhash near-dup pairs (rows-only: xxhash64) —
+    # — training-data: simhash near-dup pairs (md5 hasher → oracled) —
     def dedup_simhash(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
         from pdf_parser_python_spark.operators.dedup import simhash_near_dups
 
         d = _docs(spark, sf, "documents")
@@ -574,27 +587,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
         both = d.select("doc_id", "text").unionByName(mut)
-        return simhash_near_dups(both, max_hamming=3)
+        return simhash_near_dups(both, max_hamming=3, hasher=md5_64)
 
     q["dedup_simhash"] = dedup_simhash
 
-    # — training-data: embedding-cosine near-dup pairs (rows-only) —
+    # — training-data: embedding-cosine near-dup pairs (deterministic
+    #   hyperplanes, embedded as literals in the oracle SQL) —
     def dedup_embedding(spark, sf):
         from pdf_parser_python_spark.operators.dedup import embedding_near_dups
 
         emb = _docs(spark, sf, "embeddings")
         # plant exact dupes so the corpus has guaranteed pairs
-        twin = emb.select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
-        ).limit(50)
+        # (vec_id < 50: a deterministic set, unlike limit(50))
+        twin = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
         return embedding_near_dups(
-            emb.select("vec_id", "embedding", "label").unionByName(twin),
-            threshold=0.99,
+            emb.select("vec_id", "embedding").unionByName(twin),
+            threshold=0.99, n_planes=8,
         )
 
     q["dedup_embedding"] = dedup_embedding
 
-    # — training-data: LSH-bucketed ANN (rows-only; exact-score rerank) —
+    # — training-data: LSH-bucketed ANN (oracled; exact-score rerank) —
     def sim_lsh_topk(spark, sf):
         from pdf_parser_python_spark.operators.similarity import lsh_bucket_topk
 
@@ -602,12 +617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_lsh_topk"] = sim_lsh_topk
 
-    # — training-data: IVF ANN (rows-only; deterministic centroids) —
+    # — training-data: IVF ANN (md5 centroid hash → oracled) —
     def sim_ivf_topk(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
         from pdf_parser_python_spark.operators.similarity import ivf_topk
 
         return ivf_topk(_docs(spark, sf, "embeddings"), 0, k=10,
-                        n_cells=8, n_probe=3)
+                        n_cells=8, n_probe=3, hasher=md5_64)
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
@@ -686,6 +702,14 @@ def oracle_sql() -> dict[str, str]:
         "extract_questions_native": _oracle.extract_questions_sql(),
         "extract_flat_spans": _oracle.extract_flat_spans_sql(),
         "extract_validation": _oracle.extract_validation_sql(),
+        # — dedup / ANN family (md5-derived hashing + embedded
+        #   hyperplane/centroid constants, functions/oracle.py) —
+        "dedup_minhash": _oracle.dedup_minhash_sql(),
+        "dedup_simhash": _oracle.dedup_simhash_sql(),
+        "dedup_embedding": _oracle.dedup_embedding_sql(),
+        "sim_lsh_topk": _oracle.sim_lsh_topk_sql(),
+        "sim_ivf_topk": _oracle.sim_ivf_topk_sql(),
+        "text_profile": _oracle.text_profile_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

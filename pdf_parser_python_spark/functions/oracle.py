@@ -29,6 +29,7 @@ Unicode-native already).
 from __future__ import annotations
 
 from . import anchors as A
+from .hashing import md5_64_sql
 
 # ── RE2 forms of the shared grammar ──────────────────────────────────────
 
@@ -284,3 +285,265 @@ SELECT b.doc_id,
                            ORDER BY b.r1, b.r2, b.r3) - 1)::INT AS "order"
 FROM branches b
 JOIN questions q ON b.doc_id = q.doc_id AND b.seg = q.seg"""
+
+
+# ═══ dedup / ANN oracles ═══════════════════════════════════════════════
+# The Spark operators run with hasher=md5_64 in the driver queries, so
+# every hash below is reproducible in DuckDB. Hyperplanes/centroid
+# order are deterministic constants, embedded as SQL literals.
+
+#: k-word shingles of a lowered text expr — parity with
+#: operators/textstats.shingles (order irrelevant downstream: shingles
+#: feed min / xor / set ops only).
+_SHINGLES = """
+    CASE WHEN len(toks) >= 3
+         THEN list_distinct(list_transform(range(0, len(toks) - 2),
+                            i -> array_to_string(toks[i+1:i+3], ' ')))
+         ELSE [array_to_string(toks, ' ')] END
+"""
+
+_TOKS_L = ("list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+           " x -> x <> '')")
+_TOKS_RAW = ("list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+             " x -> x <> '')")
+
+
+def dedup_minhash_sql(k: int = 32, bands: int = 16,
+                      threshold: float = 0.5) -> str:
+    rpb = k // bands
+    h_shingle = md5_64_sql("s", "j::VARCHAR")
+    band_key = " || ':' || ".join(
+        f"sig[b*{rpb}+{r}+1]::VARCHAR" for r in range(rpb)
+    )
+    h_band = md5_64_sql(band_key, 0)
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' trailing edit token' FROM documents),
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_TOKS_L} AS toks FROM corpus)),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, {k}), j ->
+               list_min(list_transform(sh, s -> {h_shingle}))) AS sig
+    FROM sh),
+bkts AS (
+    SELECT doc_id, sig, b, {h_band} AS bucket
+    FROM sigs, (SELECT unnest(range(0, {bands})) AS b)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.sig AS sig_a, b.sig AS sig_b
+    FROM bkts a JOIN bkts b
+      ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, {k}+1), p -> sig_a[p] = sig_b[p]))
+             / {k}.0, 4) AS sig_similarity
+FROM cand
+WHERE round(len(list_filter(range(1, {k}+1), p -> sig_a[p] = sig_b[p]))
+            / {k}.0, 4) >= {threshold}"""
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    from ..operators.dedup import simhash_blocks
+
+    blocks = simhash_blocks(max_hamming)
+    pbits = 64 // blocks
+    mask = (1 << pbits) - 1
+    h0 = md5_64_sql("s", 0)
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz' FROM documents),
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_TOKS_L} AS toks FROM corpus)),
+hs AS (
+    SELECT doc_id, list_transform(sh, s -> {h0}) AS hashes FROM sh),
+sigs AS (
+    SELECT doc_id,
+           list_aggregate(list_transform(range(0, 64), i ->
+               CASE WHEN 2 * len(list_filter(hashes, h -> ((h >> i) & 1) = 1))
+                        >= len(hashes)
+                    THEN (CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                               ELSE (1::BIGINT << i) END)
+                    ELSE 0::BIGINT END), 'sum')::BIGINT AS sig
+    FROM hs),
+keyed AS (
+    SELECT doc_id, sig, i AS block, ((sig >> (i * {pbits})) & {mask}) AS prefix
+    FROM sigs, (SELECT unnest(range(0, {blocks})) AS i)),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig))::INT AS hamming
+    FROM keyed a JOIN keyed b
+      ON a.block = b.block AND a.prefix = b.prefix AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+def text_profile_sql() -> str:
+    from ..operators.textstats import STOPWORDS
+
+    h0 = md5_64_sql("s", 0)
+    hit_exprs = []
+    structs = []
+    for lang in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_exprs.append(
+            f"len(list_filter(toks_l, t -> list_contains([{words}], t)))::INT"
+            f" AS h_{lang}"
+        )
+        structs.append(f"{{'hits': h_{lang}, 'lang': '{lang}'}}")
+    # argmax parity with textstats.lang_guess: array_max over
+    # struct(hits, lang) = max hits, tie → lexicographically larger lang
+    best = f"list_aggregate([{', '.join(structs)}], 'max')"
+    return f"""
+WITH s AS (
+    SELECT doc_id, text, {_TOKS_RAW} AS toks_raw, {_TOKS_L} AS toks_l,
+           {_SHINGLES.replace('toks', 'tokz')} AS sh
+    FROM (SELECT *, {_TOKS_L} AS tokz FROM documents)),
+m AS (
+    SELECT doc_id, text, toks_raw, sh, {', '.join(hit_exprs)},
+           length(text) AS n,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+           len(regexp_extract_all(text, '[.!?]')) AS n_marks
+    FROM s)
+SELECT doc_id,
+       len(toks_raw)::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]{{1,4}}|\\d+|[^\\sA-Za-z\\d]'))::BIGINT
+           AS n_subwords,
+       length(text)::BIGINT AS n_chars,
+       CASE WHEN ({best}).hits > 0 THEN ({best}).lang ELSE 'und' END
+           AS lang_guess,
+       greatest(0, least(100,
+           (CASE WHEN n >= 200 THEN 40 WHEN n >= 50 THEN 25
+                 WHEN n >= 10 THEN 10 ELSE 0 END)
+         + (CASE WHEN n > 0 THEN CAST(floor(n_alpha * 30.0 / n) AS INT) ELSE 0 END)
+         + (CASE WHEN n_marks > 0 THEN 15 ELSE 0 END)
+         + (CASE WHEN len(toks_raw) >= 20 THEN 15
+                 WHEN len(toks_raw) >= 5 THEN 8 ELSE 0 END)
+         + (CASE WHEN n > 0 AND n_punct * 3 > n THEN -20 ELSE 0 END)
+       ))::BIGINT AS quality,
+       list_aggregate(list_transform(sh, s -> {h0}), 'bit_xor')::BIGINT
+           AS fingerprint
+FROM m"""
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def _sig_expr(planes: list[list[float]], vcol: str, dim: int) -> str:
+    terms = []
+    for p, plane in enumerate(planes):
+        dot = (f"list_sum(list_transform(range(1, {dim + 1}), "
+               f"i -> {vcol}[i] * ({_plane_lit(plane)})[i]))")
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS = """
+    CASE WHEN sqrt(list_sum(list_transform({a}, x -> x*x)))
+            * sqrt(list_sum(list_transform({b}, x -> x*x))) > 0
+         THEN list_sum(list_transform(range(1, {d1}), i -> {a}[i] * {b}[i]))
+              / (sqrt(list_sum(list_transform({a}, x -> x*x)))
+                 * sqrt(list_sum(list_transform({b}, x -> x*x))))
+         ELSE -1.0 END
+"""
+
+
+def _cos(a: str, b: str, dim: int) -> str:
+    return _COS.format(a=a, b=b, d1=dim + 1)
+
+
+def dedup_embedding_sql(dim: int = 64, n_planes: int = 8,
+                        threshold: float = 0.99) -> str:
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    sig = _sig_expr(planes, "v", dim)
+    flips = (f"list_distinct([sig] || list_transform(range(0, {n_planes}), "
+             f"p -> xor(sig, (1::BIGINT << p))))")
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50),
+vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM corpus),
+sigs AS (SELECT vec_id, v, {sig} AS sig FROM vecs),
+probes AS (
+    SELECT vec_id, v, unnest({flips}) AS bucket FROM sigs),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.v AS va, b.v AS vb
+    FROM probes a JOIN sigs b
+      ON a.bucket = b.sig AND a.vec_id < b.vec_id),
+scored AS (
+    SELECT vec_a, vec_b, round({_cos('va', 'vb', dim)}, 4) AS cosine
+    FROM cand)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}"""
+
+
+def sim_lsh_topk_sql(dim: int = 64, n_planes: int = 8, k: int = 10) -> str:
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes)
+    sig = _sig_expr(planes, "v", dim)
+    flips = (f"list_distinct([qsig] || list_transform(range(0, {n_planes}), "
+             f"p -> xor(qsig, (1::BIGINT << p))))")
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings),
+sigs AS (SELECT vec_id, v, {sig} AS sig FROM vecs),
+q AS (SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+probes AS (SELECT qv, unnest({flips}) AS bucket FROM q),
+cand AS (
+    SELECT s.vec_id, s.v, p.qv
+    FROM sigs s JOIN probes p ON s.sig = p.bucket
+    WHERE s.vec_id <> 0),
+scored AS (
+    SELECT vec_id, {_cos('v', 'qv', dim)} AS raw FROM cand)
+SELECT (row_number() OVER (ORDER BY raw DESC, vec_id))::INT AS rank,
+       vec_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, vec_id LIMIT {k}"""
+
+
+def sim_ivf_topk_sql(dim: int = 64, n_cells: int = 8, n_probe: int = 3,
+                     k: int = 10) -> str:
+    h = md5_64_sql("vec_id::VARCHAR", 0)
+    d2 = (f"list_sum(list_transform(range(1, {dim + 1}), "
+          f"i -> (v[i] - cv[i]) * (v[i] - cv[i])))")
+    d2q = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           f"i -> (qq.v[i] - cv[i]) * (qq.v[i] - cv[i])))")
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings),
+cents AS (
+    SELECT v AS cv,
+           (row_number() OVER (ORDER BY {h}, vec_id) - 1) AS cell
+    FROM vecs ORDER BY {h}, vec_id LIMIT {n_cells}),
+assign AS (
+    SELECT vec_id, (min({{'d': {d2}, 'cell': cell}})).cell AS cell
+    FROM vecs, cents GROUP BY vec_id),
+q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+probe AS (
+    SELECT cell FROM cents, (SELECT v FROM vecs WHERE vec_id = 0) qq(v)
+    ORDER BY {d2q}, cell LIMIT {n_probe}),
+cand AS (
+    SELECT a.vec_id, x.v, q.qv
+    FROM assign a
+    JOIN vecs x ON a.vec_id = x.vec_id
+    CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0),
+scored AS (
+    SELECT vec_id, {_cos('v', 'qv', dim)} AS raw FROM cand)
+SELECT (row_number() OVER (ORDER BY raw DESC, vec_id))::INT AS rank,
+       vec_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, vec_id LIMIT {k}"""

@@ -13,16 +13,24 @@ Four tiers, all shuffle-aware:
 - embedding-cosine: hyperplane-bucketed near-dup pairs over an
   embedding column, exact cosine only inside candidate sets.
 
-Hash functions are xxhash64 with fixed seeds — deterministic across
+Hash functions are pluggable (functions/hashing.py): xxhash64 with
+fixed seeds is the production default; the md5-derived variant is
+reproducible in DuckDB so the driver contract can hash-check these
+operators against a SQL oracle. Both are deterministic across
 partitioning and cluster size.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import xx64
 from .textstats import shingles
+
+Hasher = Callable[[Column, int], Column]
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -39,20 +47,21 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, text_col: str = "text", k: int = 32, shingle_k: int = 3
+    documents: DataFrame, text_col: str = "text", k: int = 32,
+    shingle_k: int = 3, hasher: Hasher = xx64,
 ) -> DataFrame:
     """doc_id → array of K minhash values (native: per-seed min over
-    xxhash64(shingle, seed-salted))."""
+    hasher(shingle, seed))."""
     sh = shingles(F.col(text_col), shingle_k).alias("sh")
 
-    def hasher(seed: int):
+    def perm(seed: int):
         # NB: must be a one-arg lambda — a second lambda parameter would
         # be bound to the element index by the HOF machinery
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda s: hasher(s, seed)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("sh"), hasher(i)))
+            F.array_min(F.transform(F.col("sh"), perm(i)))
             for i in range(k)
         ]
     )
@@ -68,6 +77,8 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_k: int = 3,
+    hasher: Hasher = xx64,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs via banded LSH + signature-similarity check.
 
@@ -75,20 +86,21 @@ def minhash_lsh_pairs(
     estimated Jaccard (= fraction of matching minhashes) ≥ threshold.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(documents, text_col, k, shingle_k)
+    sigs = minhash_signatures(documents, text_col, k, shingle_k, hasher)
 
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                hasher(
                     F.concat_ws(
                         ":",
                         *[
                             F.col("signature")[b * rows_per_band + r].cast("string")
                             for r in range(rows_per_band)
                         ],
-                    )
+                    ),
+                    0,
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -97,6 +109,18 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         "doc_id", "signature", F.explode(band_structs).alias("bb")
     ).select("doc_id", "signature", F.col("bb.band"), F.col("bb.bucket"))
+
+    if max_bucket is not None:
+        # skew guard: a mega-cluster of identical docs puts m docs in
+        # one band bucket → O(m²) pairs inside the self-join. Buckets
+        # beyond the cap are dropped (mass-duplicates belong to
+        # exact_dedup, which runs in one linear shuffle).
+        from pyspark.sql.window import Window
+
+        bn = F.count("*").over(Window.partitionBy("band", "bucket"))
+        buckets = buckets.withColumn("_bn", bn).where(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -131,13 +155,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(col: Column, bits: int = 64) -> Column:
+def simhash(col: Column, bits: int = 64, hasher: Hasher = xx64) -> Column:
     """64-bit SimHash over shingle hashes, as a signed long.
 
     Bit i of the signature = majority vote of bit i across shingle
-    xxhash64 values — expressed with native bit ops + aggregate."""
+    hashes — expressed with native bit ops + aggregate."""
     sh = shingles(col)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(sh, lambda s: hasher(s, 0))
     n = F.size(hashes)
 
     def bit_set(i: int):
@@ -156,17 +180,32 @@ def simhash(col: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_blocks(max_hamming: int) -> int:
+    """Smallest power-of-two block count with a pigeonhole recall
+    guarantee: a pair within Hamming distance h differs in ≤ h blocks,
+    so with blocks ≥ h+1 at least one block (prefix) matches exactly.
+    Round 1 accepted any max_hamming with 4 fixed blocks, silently
+    voiding the guarantee for h > 3."""
+    for b in (2, 4, 8, 16, 32, 64):
+        if b >= max_hamming + 1:
+            return b
+    return 64
+
+
 def simhash_near_dups(
-    documents: DataFrame, text_col: str = "text", prefix_bits: int = 16,
-    max_hamming: int = 3,
+    documents: DataFrame, text_col: str = "text", prefix_bits: int | None = None,
+    max_hamming: int = 3, hasher: Hasher = xx64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on rotated prefixes (any pair
-    within Hamming distance ≤ max_hamming shares at least one of the 4
-    rotated 16-bit prefixes — pigeonhole over 4 blocks), then verify
-    exact Hamming distance natively via bit_count(xor)."""
+    within Hamming distance ≤ max_hamming shares at least one of the
+    rotated prefixes — pigeonhole over ≥ max_hamming+1 blocks, derived
+    by :func:`simhash_blocks` unless ``prefix_bits`` is forced), then
+    verify exact Hamming distance natively via bit_count(xor)."""
     d = documents.select(
-        "doc_id", simhash(F.col(text_col)).alias("sig")
+        "doc_id", simhash(F.col(text_col), hasher=hasher).alias("sig")
     )
+    if prefix_bits is None:
+        prefix_bits = 64 // simhash_blocks(max_hamming)
     blocks = 64 // prefix_bits
     rot = F.explode(
         F.array(
@@ -228,12 +267,24 @@ def ngram_jaccard(
     )
 
 
+def lsh_planes_for(n_rows: int) -> int:
+    """Corpus-scaled plane count: round 1's fixed 8 planes = 256
+    buckets total, which degenerates to quadratic bucket self-joins at
+    real corpus sizes (10⁹ vectors → ~4M per bucket). Scale so the
+    average bucket holds ~2⁸ vectors, floor 8, cap 30 (signatures stay
+    inside int64 and 1-bit multi-probe stays cheap)."""
+    import math
+
+    return min(30, max(8, math.ceil(math.log2(max(n_rows, 2))) - 8))
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -242,18 +293,29 @@ def embedding_near_dups(
     high probability), candidate pairs come from bucket equi-joins on
     the signature and all its 1-bit flips, and the exact cosine runs
     only inside candidate sets — never the O(n²) cross join.
+    ``n_planes`` defaults to a corpus-scaled count (:func:`lsh_planes_for`);
+    signature buckets larger than ``max_bucket`` are dropped (exact
+    mass-duplicates belong to exact_dedup).
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine ≥
     threshold, rounded to 4 decimals.
     """
     from .similarity import cosine, hyperplanes, lsh_signature
 
     dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    if n_planes is None:
+        n_planes = lsh_planes_for(embeddings.count())
     planes = hyperplanes(dim, n_planes)
     sigs = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         lsh_signature(F.col(vec_col), planes).alias("sig"),
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        sigs = sigs.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("sig"))
+        ).where(F.col("_bn") <= max_bucket).drop("_bn")
     # each vector lands in its own bucket + every 1-bit flip, so any
     # pair within Hamming distance 1 of signatures meets in ≥1 bucket
     probes = F.array_union(

@@ -104,14 +104,14 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
                 F.array(*[F.lit(w) for w in plane]),
             )
             >= 0,
-            F.lit(1 << p),
-        ).otherwise(F.lit(0))
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         for p, plane in enumerate(planes)
     ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
-    return out.cast("int")
+    return out.cast("long")  # long: corpus-scaled plane counts pass 31 bits
 
 
 def lsh_bucket_topk(
@@ -163,19 +163,23 @@ def ivf_assignments(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hasher=None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Partition vectors into cells around deterministic centroids.
 
     Centroids are the ``n_cells`` vectors with the smallest
-    ``xxhash64(vec_id)`` — a seedless, partitioning-independent sample
-    (no k-means iterations: at corpus scale the IVF list structure
-    matters more than centroid quality, and determinism is a gate
-    requirement). Assignment = argmin centroid distance, computed as a
-    native expression per row.
+    ``hasher(vec_id)`` (default xxhash64) — a seedless, partitioning-
+    independent sample (no k-means iterations: at corpus scale the IVF
+    list structure matters more than centroid quality, and determinism
+    is a gate requirement). Assignment = argmin centroid distance,
+    computed as a native expression per row.
     """
+    from ..functions.hashing import xx64
+
+    hasher = hasher or xx64
     seeds = (
         embeddings.select(id_col, vec_col)
-        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .withColumn("_h", hasher(F.col(id_col).cast("string"), 0))
         .orderBy("_h", id_col)
         .limit(n_cells)
         .collect()
@@ -214,12 +218,15 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hasher=None,
 ) -> DataFrame:
     """IVF ANN: search only the ``n_probe`` cells nearest the query,
     exact cosine rerank inside them. At cluster scale the assignment
     table is written partitioned by cell, so a probe is a partition-
     pruned scan of ~n_probe/n_cells of the corpus."""
-    assigned, centroids = ivf_assignments(embeddings, n_cells, id_col, vec_col)
+    assigned, centroids = ivf_assignments(
+        embeddings, n_cells, id_col, vec_col, hasher
+    )
 
     qrow = embeddings.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")

@@ -114,20 +114,27 @@ def shingles(col: Column, k: int = 3) -> Column:
     )
 
 
-def fingerprint(col: Column) -> Column:
+def fingerprint(col: Column, hasher=None) -> Column:
     """64-bit document fingerprint: XOR fold of shingle hashes.
 
     XOR is overflow-free (ANSI-safe), order-insensitive, and shingles
     are deduplicated upstream so pairs can't cancel; stable across
-    partitioning and cluster size."""
+    partitioning and cluster size. ``hasher`` is pluggable
+    (functions/hashing.py) — the md5 variant makes the value
+    reproducible in a DuckDB oracle."""
+    from ..functions.hashing import xx64
+
+    hasher = hasher or xx64
     return F.aggregate(
         shingles(col),
         F.lit(0).cast("long"),
-        lambda acc, s: acc.bitwiseXOR(F.xxhash64(s)),
+        lambda acc, s: acc.bitwiseXOR(hasher(s, 0)),
     )
 
 
-def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def text_profile(
+    documents: DataFrame, text_col: str = "text", hasher=None
+) -> DataFrame:
     """One row per doc: the full text-analysis profile."""
     c = F.col(text_col)
     return documents.select(
@@ -137,5 +144,5 @@ def text_profile(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(c).alias("n_chars"),
         lang_guess(c).alias("lang_guess"),
         quality_score(c).alias("quality"),
-        fingerprint(c).alias("fingerprint"),
+        fingerprint(c, hasher).alias("fingerprint"),
     )

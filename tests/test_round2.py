@@ -102,6 +102,29 @@ def test_media_features_driver_row_hashable(spark):
     assert pdf["features_json"].str.startswith("[").all()
 
 
+def test_lsh_bucket_cap_defuses_mass_duplicate_skew(spark):
+    """10⁴ identical vectors land in ONE signature bucket: without the
+    cap the self-join materializes ~5·10⁷ pairs; with it the bucket is
+    dropped (mass duplicates belong to exact_dedup) and the job stays
+    linear."""
+    from pdf_parser_python_spark.operators.dedup import embedding_near_dups
+
+    vec = [1.0] + [0.0] * 15
+    rows = [(i, vec) for i in range(10_000)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dups(emb, threshold=0.99, n_planes=8, max_bucket=100)
+    assert out.count() == 0
+
+
+def test_simhash_blocks_derivation():
+    from pdf_parser_python_spark.operators.dedup import simhash_blocks
+
+    assert simhash_blocks(0) == 2
+    assert simhash_blocks(3) == 4
+    assert simhash_blocks(10) == 16  # round 1 silently used 4 → no guarantee
+    assert simhash_blocks(63) == 64
+
+
 def test_gap_detection_survives_clamped_range(spark):
     from pdf_parser_python_spark.operators.validate import validation_report
 
