@@ -117,10 +117,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "question_text", "answer_text", "anomaly_score",
         )
 
+    def extract_rescan(spark, sf):
+        # raw-rescan diagnostics: whole-document anchor scan anti-joined
+        # against parsed output (background_worker.py:421-435, 503-525)
+        _ensure_shipped(spark)
+        from pdf_parser_python_spark.operators import diagnostics
+
+        docs = _spans_table(spark, sf)
+        qs = pipeline.extract_questions(docs)
+        return diagnostics.rescan_summary(docs, qs)
+
     q["extract_questions"] = extract_questions
     q["extract_questions_native"] = extract_questions_native
     q["extract_flat_spans"] = extract_flat_spans
     q["extract_validation"] = extract_validation
+    q["extract_rescan"] = extract_rescan
 
     # — A1 duplicate keys (validator.py:61-67 pattern) —
     def a1_duplicates(spark, sf):
@@ -702,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_questions_native": _oracle.extract_questions_sql(),
         "extract_flat_spans": _oracle.extract_flat_spans_sql(),
         "extract_validation": _oracle.extract_validation_sql(),
+        "extract_rescan": _oracle.extract_rescan_sql(),
         # — dedup / ANN family (md5-derived hashing + embedded
         #   hyperplane/centroid constants, functions/oracle.py) —
         "dedup_minhash": _oracle.dedup_minhash_sql(),

@@ -547,3 +547,38 @@ scored AS (
 SELECT (row_number() OVER (ORDER BY raw DESC, vec_id))::INT AS rank,
        vec_id, round(raw, 4) AS score
 FROM scored ORDER BY raw DESC, vec_id LIMIT {k}"""
+
+
+def extract_rescan_sql(q: int = 8) -> str:
+    """Raw-rescan diagnostics summary (operators/diagnostics.py): the
+    reference's whole-document anchor rescan anti-joined against parsed
+    output (background_worker.py:421-435, 503-525), summarized per doc.
+    The rescan runs on the PRE-noise-filter line stream (rawlines0)."""
+    raw_re = r"(?i)(?:^|\n)\s*Question\s*:?\s*(\d+)"
+    return f"""WITH {_fsm_ctes(q)},
+rawdet AS (
+    SELECT DISTINCT doc_id,
+           (CASE WHEN length(m) > 18 THEN {_QNUM_CAP}
+                 ELSE m::BIGINT END) AS qn
+    FROM (SELECT doc_id, unnest(regexp_extract_all(u.line, '{raw_re}', 1)) AS m
+          FROM rawlines0 WHERE u.kind = 'text')),
+per AS (
+    SELECT doc_id, qn, max(in_raw) AS in_raw, sum(np) AS np
+    FROM (SELECT doc_id, qn, 1 AS in_raw, 0 AS np FROM rawdet
+          UNION ALL
+          SELECT doc_id, question_number AS qn, 0, 1 FROM questions)
+    GROUP BY doc_id, qn),
+agg AS (
+    SELECT doc_id,
+           sum(in_raw)::INT AS raw_detected_count,
+           sum(np)::INT AS parsed_count,
+           sum(CASE WHEN in_raw = 1 AND np = 0 THEN 1 ELSE 0 END)::INT
+               AS missing_lost_count,
+           sum(CASE WHEN np > 1 THEN 1 ELSE 0 END)::INT AS duplicate_count,
+           min(qn) AS mn, max(qn) AS mx, count(DISTINCT qn) AS ncnt
+    FROM per GROUP BY doc_id)
+SELECT doc_id, raw_detected_count, parsed_count, missing_lost_count,
+       duplicate_count,
+       (CASE WHEN mx - mn <= 1000000 THEN (mx - mn + 1 - ncnt)
+             ELSE 0 END)::INT AS sequence_gap_count
+FROM agg"""

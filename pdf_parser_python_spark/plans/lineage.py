@@ -49,6 +49,7 @@ class ExtractionJob:
         self.n_buckets = n_buckets
         self.questions_dir = os.path.join(out_dir, "questions")
         self.spans_dir = os.path.join(out_dir, "flat_spans")
+        self.raw_dir = os.path.join(out_dir, "raw_questions")
         self.lineage_path = os.path.join(out_dir, "lineage.jsonl")
 
     # ── lineage bookkeeping ──────────────────────────────────────────
@@ -98,7 +99,10 @@ class ExtractionJob:
         """One-time ingest normalization: write the input partitioned by
         bucket so every per-bucket pass is partition-pruned instead of a
         full-corpus scan (the parquet stand-in for an Iceberg table
-        partitioned on bucket(doc_id)). Idempotent via a _STAGED marker.
+        partitioned on bucket(doc_id)). Per-bucket input metrics
+        (docs, spans) are computed HERE, in one aggregation over the
+        staged table, so bucket commits never re-scan the input for
+        bookkeeping. Idempotent via a _STAGED marker.
         """
         staged = os.path.join(self.out_dir, "input_bucketed")
         marker = os.path.join(staged, "_STAGED")
@@ -106,35 +110,59 @@ class ExtractionJob:
             self._bucketed(documents).write.mode("overwrite").partitionBy(
                 "bucket"
             ).parquet(staged)
+            m = (
+                documents.sparkSession.read.parquet(staged)
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("d"),
+                    F.sum(F.size("spans")).alias("s"),
+                )
+                .collect()
+            )
+            metrics = {int(r["bucket"]): [int(r["d"]), int(r["s"] or 0)]
+                       for r in m}
+            with open(os.path.join(staged, "_input_metrics.json"), "w") as fh:
+                json.dump(metrics, fh)
             with open(marker, "w") as fh:
                 fh.write("ok\n")
         return staged
 
-    def _write_bucket(self, bucket: int, docs: DataFrame) -> dict:
-        t0 = time.perf_counter()
-        m = docs.agg(
-            F.count("*").alias("d"), F.sum(F.size("spans")).alias("s")
-        ).first()
-        n_docs, n_spans_in = m["d"], m["s"] or 0
+    def _input_metrics(self, staged: str, bucket: int) -> tuple[int, int]:
+        with open(os.path.join(staged, "_input_metrics.json")) as fh:
+            metrics = json.load(fh)
+        return tuple(metrics.get(str(bucket), [0, 0]))
 
-        raw = pipeline.parse_raw(docs)
+    def _write_bucket(
+        self, bucket: int, docs: DataFrame, n_docs: int, n_spans_in: int
+    ) -> dict:
+        """One bucket commit — the parse executes exactly ONCE.
+
+        Round 1 ran the parse twice (questions write + failure count)
+        and scanned the input a third time for metrics; at scale that
+        doubled extraction cost per bucket. Now the raw kernel output
+        (incl. parse_failed sentinel rows) is materialized first, and
+        questions/flat-spans/failure counts all derive from written
+        parquet; input metrics come from staging time.
+        """
+        t0 = time.perf_counter()
+        spark = docs.sparkSession
         qdir = os.path.join(self.questions_dir, f"bucket={bucket}")
         sdir = os.path.join(self.spans_dir, f"bucket={bucket}")
+        rdir = os.path.join(self.raw_dir, f"bucket={bucket}")
         # delete-before-insert (reference background_worker.py:343-357)
-        for d in (qdir, sdir):
+        for d in (qdir, sdir, rdir):
             shutil.rmtree(d, ignore_errors=True)
 
-        raw_failures = raw.filter(F.col("parse_failed"))
-        questions = _finalize.finalize_questions(raw)
-        questions.write.mode("overwrite").parquet(qdir)
+        pipeline.parse_raw(docs).write.mode("overwrite").parquet(rdir)
+        raw = spark.read.parquet(rdir)
 
-        written = docs.sparkSession.read.parquet(qdir)
-        flat = _flatten.flat_spans(written)
-        flat.write.mode("overwrite").parquet(sdir)
+        _finalize.finalize_questions(raw).write.mode("overwrite").parquet(qdir)
+        written = spark.read.parquet(qdir)
+        _flatten.flat_spans(written).write.mode("overwrite").parquet(sdir)
 
         n_q = written.count()
-        n_spans_out = docs.sparkSession.read.parquet(sdir).count()
-        n_fail = raw_failures.count()
+        n_spans_out = spark.read.parquet(sdir).count()
+        n_fail = raw.filter(F.col("parse_failed")).count()
         return {
             "partition_id": bucket,
             "status": "done",
@@ -174,8 +202,9 @@ class ExtractionJob:
                 processed.append(b)
                 continue
             docs_b = spark.read.parquet(bdir)
+            n_docs, n_spans_in = self._input_metrics(staged, b)
             try:
-                row = self._write_bucket(b, docs_b)
+                row = self._write_bucket(b, docs_b, n_docs, n_spans_in)
             except Exception as exc:  # never lose prior commits
                 self._append_lineage(
                     {

@@ -21,11 +21,11 @@ def test_failed_bucket_recorded_and_retried(spark):
         real = job._write_bucket
         blown = []
 
-        def flaky(bucket, bdocs):
+        def flaky(bucket, bdocs, *meta):
             if bucket == 2 and not blown:
                 blown.append(bucket)
                 raise RuntimeError("simulated executor loss")
-            return real(bucket, bdocs)
+            return real(bucket, bdocs, *meta)
 
         job._write_bucket = flaky
         first = job.run(spark, docs)
