@@ -127,11 +127,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = pipeline.extract_questions(docs)
         return diagnostics.rescan_summary(docs, qs)
 
+    def envelope_metadata(spark, sf):
+        # ParseResult envelope: exam id, canonical source sha256,
+        # block/structured counts (engine.py:227-257, models.py:196-215)
+        _ensure_shipped(spark)
+        from pdf_parser_python_spark.operators import envelope
+
+        docs = _spans_table(spark, sf)
+        qs = pipeline.extract_questions(docs)
+        return envelope.exam_envelope(docs, qs)
+
     q["extract_questions"] = extract_questions
     q["extract_questions_native"] = extract_questions_native
     q["extract_flat_spans"] = extract_flat_spans
     q["extract_validation"] = extract_validation
     q["extract_rescan"] = extract_rescan
+    q["envelope_metadata"] = envelope_metadata
 
     # — A1 duplicate keys (validator.py:61-67 pattern) —
     def a1_duplicates(spark, sf):
@@ -714,6 +725,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_flat_spans": _oracle.extract_flat_spans_sql(),
         "extract_validation": _oracle.extract_validation_sql(),
         "extract_rescan": _oracle.extract_rescan_sql(),
+        "envelope_metadata": _oracle.envelope_sql(),
         # — dedup / ANN family (md5-derived hashing + embedded
         #   hyperplane/centroid constants, functions/oracle.py) —
         "dedup_minhash": _oracle.dedup_minhash_sql(),

@@ -29,6 +29,11 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", str(int(200000 * SF))))
 from pdf_parser_python_spark.sources.spans import GRAMMAR_VERSION  # noqa: E402
 
 CORPUS = f"/tmp/bench_corpus_v{GRAMMAR_VERSION}_{N_DOCS}.parquet"
+# phase-2 scaling corpus: 2× the headline corpus so each timed run
+# stays long enough (≥~8 s at the 4N level) that per-job fixed cost
+# (~0.6 s planning/commit) cannot bias the efficiency ratio
+SCALE_DOCS = int(os.environ.get("BENCH_SCALE_DOCS", str(2 * N_DOCS)))
+SCALE_CORPUS = f"/tmp/bench_corpus_v{GRAMMAR_VERSION}_{SCALE_DOCS}.parquet"
 
 HEADLINE = [
     "extract_questions", "extract_flat_spans", "extract_validation",
@@ -86,16 +91,24 @@ def main() -> None:
     entrymod._ensure_shipped(spark)
     warmup(spark)
 
-    # materialize the scaling corpus once (identical input for both runs)
+    # materialize the corpora once (identical input for every run)
     if not os.path.exists(CORPUS):
         synthetic_corpus(spark, N_DOCS, mean_questions=12).write.mode(
             "overwrite"
         ).parquet(CORPUS)
+    if not os.path.exists(SCALE_CORPUS):
+        synthetic_corpus(spark, SCALE_DOCS, mean_questions=12).write.mode(
+            "overwrite"
+        ).parquet(SCALE_CORPUS)
     corpus_docs = spark.read.parquet(CORPUS)
     n_docs = corpus_docs.count()
     from pyspark.sql import functions as F
 
     n_spans = corpus_docs.select(F.sum(F.size("spans"))).first()[0]
+    scale_spans = int(
+        spark.read.parquet(SCALE_CORPUS)
+        .select(F.sum(F.size("spans"))).first()[0]
+    )
 
     queries = entrymod.queries()
     times: dict[str, float] = {}
@@ -147,14 +160,14 @@ def main() -> None:
         for cores in (n_small, n_big):
             r = subprocess.run(
                 [sys.executable, probe, "--cores", str(cores),
-                 "--corpus", CORPUS, "--runs", str(inner)],
+                 "--corpus", SCALE_CORPUS, "--runs", str(inner)],
                 capture_output=True, text=True, check=True,
             )
             samples[cores].extend(
                 json.loads(r.stdout.strip().splitlines()[-1])["times"]
             )
     best = {c: min(ts) for c, ts in samples.items()}
-    thr = {c: n_docs / t for c, t in best.items()}
+    thr = {c: SCALE_DOCS / t for c, t in best.items()}
     eff = (best[n_small] / best[n_big]) / (n_big / n_small)
     # secondary diagnostic: median over all cross-pairings
     eff_median = statistics.median(
@@ -172,15 +185,17 @@ def main() -> None:
         "extraction": {
             "corpus_docs": n_docs,
             "corpus_spans": int(n_spans),
+            "scale_corpus_docs": SCALE_DOCS,
+            "scale_corpus_spans": scale_spans,
             f"docs_per_sec_local[{CPUS}]": round(n_docs / t_full, 1),
             f"spans_per_sec_local[{CPUS}]": round(n_spans / t_full, 1),
             f"docs_per_sec_local[{n_small}]": round(thr[n_small], 1),
             f"docs_per_sec_local[{n_big}]": round(thr[n_big], 1),
             f"spans_per_sec_local[{n_small}]": round(
-                n_spans * thr[n_small] / n_docs, 1
+                scale_spans * thr[n_small] / SCALE_DOCS, 1
             ),
             f"spans_per_sec_local[{n_big}]": round(
-                n_spans * thr[n_big] / n_docs, 1
+                scale_spans * thr[n_big] / SCALE_DOCS, 1
             ),
             "scaling_efficiency_NtoXN": round(eff, 3),
             "scaling_efficiency_median": round(eff_median, 3),

@@ -582,3 +582,58 @@ SELECT doc_id, raw_detected_count, parsed_count, missing_lost_count,
        (CASE WHEN mx - mn <= 1000000 THEN (mx - mn + 1 - ncnt)
              ELSE 0 END)::INT AS sequence_gap_count
 FROM agg"""
+
+
+def envelope_sql(q: int = 8) -> str:
+    """ParseResult envelope (operators/envelope.py): canonical span
+    serialization rebuilt literally — INCLUDING the header spans the
+    extraction oracles may skip (the hash covers the whole source)."""
+    t = "'text' || chr(31) || {x} || chr(31)"
+    img = "'image' || chr(31) || chr(31) || 'img://' || doc_id || '/' || n::VARCHAR"
+    rs = " || chr(30) || "
+    qstr = rs.join([
+        t.format(x="'Question: ' || n::VARCHAR"),
+        t.format(x="body"),
+        t.format(x="'A. ' || oa"),
+        t.format(x="'B. ' || ob"),
+        t.format(x="'C. ' || oc"),
+        t.format(x="'D. ' || od"),
+    ]) + (
+        f" || (CASE WHEN has_img THEN chr(30) || {img} ELSE '' END)"
+    ) + rs.join([
+        "",
+        t.format(x="'Answer: ' || letter"),
+        t.format(x="'Explanation: ' || expl"),
+    ])
+    header = rs.join([
+        t.format(x=f"'Questions and Answers PDF' || chr(10) || '1/{q}'"),
+        t.format(x="'EXAM-' || doc_id"),
+        t.format(x="'https://example-dumps.invalid/set'"),
+    ])
+    return f"""WITH {_fsm_ctes(q)},
+qstrs AS (
+    SELECT doc_id, n, {qstr} AS qstr,
+           (8 + has_img::INT) AS n_spans
+    FROM qrows),
+canon AS (
+    SELECT doc_id,
+           {header} || chr(30) || string_agg(qstr, chr(30) ORDER BY n)
+               AS c,
+           (3 + sum(n_spans))::INT AS raw_block_count
+    FROM qstrs GROUP BY doc_id),
+structured AS (
+    SELECT doc_id,
+           sum((trim(question_text) <> '' AND trim(answer_text) <> '')::INT)::INT
+               AS structured_question_count
+    FROM questions GROUP BY doc_id)
+SELECT c.doc_id,
+       substr(regexp_replace(c.doc_id, '[^A-Za-z0-9_-]', '_', 'g'), 1, 50)
+           AS exam_id,
+       sha256(c.c) AS source_sha256,
+       strlen(c.c)::BIGINT AS source_bytes,
+       c.raw_block_count,
+       coalesce(s.structured_question_count, 0)::INT
+           AS structured_question_count,
+       '1.0.0' AS parser_version,
+       NULL::VARCHAR AS parse_timestamp
+FROM canon c LEFT JOIN structured s ON c.doc_id = s.doc_id"""

@@ -30,7 +30,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.anchors import is_noise_line
 from .pkernel import _COLUMNS, _COMBINED_NOISE, _DocState, _process_rows
+
+_FLAT_COLUMNS = [
+    "doc_id", "seq", "question_number", "section", "kind", "text",
+    "media_ref", "order",
+]
 
 
 def _parse_doc(doc_id: str, kinds, texts, refs, pages) -> list[tuple]:
@@ -86,9 +92,98 @@ def parse_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out.extend(_parse_doc(ids[r], kinds[r], texts[r], refs[r], pg_list))
         if out:
             yielded = True
-            yield pd.DataFrame(out, columns=_COLUMNS)
+            cols = list(zip(*out))
+            yield pd.DataFrame({c: cols[i] for i, c in enumerate(_COLUMNS)})
     if not yielded:
         yield pd.DataFrame({c: pd.Series(dtype=object) for c in _COLUMNS})
+
+
+def _flatten_rows(raw_rows: list[tuple]) -> list[tuple]:
+    """Apply the finalize rules flatten depends on (F8 ghost-option
+    filter, F9 explanation scrub, parse_failed drop — operators/
+    finalize.py) and emit the §1.4 canonical flatten
+    (operators/flatten.py semantics), directly as FLAT columns.
+
+    Why in the kernel: the Column-API finalize+flatten are interpreted
+    higher-order array expressions — measured ~8s of a 13s stage at
+    sf0.1 while the whole Python FSM costs ~2.5s. Emitting flat rows
+    here removes the nested-array Arrow conversion AND the HOF stage;
+    tests assert row-equality against the native finalize→flatten path,
+    which stays the reference implementation (and serves engines that
+    need the QUESTION_RAW form).
+    """
+    out: list[tuple] = []
+    for r in raw_rows:
+        if r[13]:  # parse_failed sentinel — finalize drops it
+            continue
+        doc_id, seq, qnum = r[0], r[1], r[2]
+        order = 0
+
+        def emit(section: str, kind: str, text: str, media: str) -> None:
+            nonlocal order
+            out.append((doc_id, seq, qnum, section, kind, text, media, order))
+            order += 1
+
+        if r[4] != "":
+            emit("question", "text", r[4], "")
+        for m in r[5]:
+            emit("question", "image", "", m)
+        for o in r[6]:
+            otext, imgs = o["text"], o["images"]
+            if otext.strip() == "" and not imgs:
+                continue  # F8 ghost option
+            emit("options", "text",
+                 f"{o['key']}. {otext}" if otext != "" else f"{o['key']}.",
+                 "")
+            for m in imgs:
+                emit("options", "image", "", m)
+        if r[7] != "":
+            emit("answer", "text", r[7], "")
+        for m in r[8]:
+            emit("answer", "image", "", m)
+        expl = r[9]
+        if expl != "" and is_noise_line(expl.strip()):
+            expl = ""  # F9 boilerplate scrub
+        if expl != "":
+            emit("explanation", "text", expl, "")
+        for m in r[10]:
+            emit("explanation", "image", "", m)
+    return out
+
+
+def parse_docs_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint: packed documents → canonical flat spans
+    in one fused pass (zero shuffle, flat primitive output columns)."""
+    yielded = False
+    for pdf in batches:
+        out: list[tuple] = []
+        ids = pdf["doc_id"].to_numpy()
+        kinds = pdf["kinds"].to_numpy()
+        texts = pdf["texts"].to_numpy()
+        refs = pdf["refs"].to_numpy()
+        pages = pdf["pages"].to_numpy()
+        for r in range(len(ids)):
+            pg = pages[r]
+            pg_list = (
+                [1] * len(kinds[r])
+                if pg is None
+                else [1 if p is None else int(p) for p in pg]
+            )
+            out.extend(
+                _flatten_rows(
+                    _parse_doc(ids[r], kinds[r], texts[r], refs[r], pg_list)
+                )
+            )
+        if out:
+            yielded = True
+            # zip-transpose: pandas infers dtype per column from a flat
+            # C-level tuple instead of scanning 2-3M row tuples
+            cols = list(zip(*out))
+            yield pd.DataFrame(
+                {c: cols[i] for i, c in enumerate(_FLAT_COLUMNS)}
+            )
+    if not yielded:
+        yield pd.DataFrame({c: pd.Series(dtype=object) for c in _FLAT_COLUMNS})
 
 
 def packed_projection(documents: DataFrame) -> DataFrame:

@@ -99,24 +99,36 @@ def finalize_questions(raw: DataFrame) -> DataFrame:
         ),
     )
 
-    # anomaly stamping, in the reference's emit order (:386-414)
-    def anomaly(typ: str, sev: int, msg: str) -> Column:
+    # anomaly stamping, in the reference's emit order (:386-414);
+    # context map per models.py:118 (only orphan_image carries one,
+    # {"section": "question"} — state_machine.py:408-413)
+    _ANOM_T = (
+        "array<struct<type:string,severity:int,message:string,"
+        "context:map<string,string>>>"
+    )
+
+    def anomaly(typ: str, sev: int, msg: str, ctx: Column | None = None) -> Column:
         return F.struct(
             F.lit(typ).alias("type"),
             F.lit(sev).alias("severity"),
             F.lit(msg).alias("message"),
+            (
+                ctx if ctx is not None
+                else F.lit(None).cast("map<string,string>")
+            ).alias("context"),
         )
 
     anomalies = F.concat(
         F.when(~has_qtext, F.array(anomaly(
             "missing_question_text", 80, "Question has no text content"
-        ))).otherwise(F.array().cast("array<struct<type:string,severity:int,message:string>>")),
+        ))).otherwise(F.array().cast(_ANOM_T)),
         F.when(~is_hotspot & ~has_answer, F.array(anomaly(
             "missing_answer", 60, "Question has no answer section"
-        ))).otherwise(F.array().cast("array<struct<type:string,severity:int,message:string>>")),
+        ))).otherwise(F.array().cast(_ANOM_T)),
         F.when(~has_qtext & (F.size("question_images") > 0), F.array(anomaly(
-            "orphan_image", 30, "Question body contains only images"
-        ))).otherwise(F.array().cast("array<struct<type:string,severity:int,message:string>>")),
+            "orphan_image", 30, "Question body contains only images",
+            F.create_map(F.lit("section"), F.lit("question")),
+        ))).otherwise(F.array().cast(_ANOM_T)),
     )
     df = df.withColumn("anomalies", anomalies)
 

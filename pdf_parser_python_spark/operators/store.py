@@ -66,6 +66,7 @@ def normalize(questions: DataFrame) -> dict[str, DataFrame]:
         F.col("a.type").alias("type"),
         F.col("a.severity").alias("severity"),
         F.col("a.message").alias("message"),
+        F.col("a.context").alias("context"),  # models.py:118
     ).where(F.col("type").isNotNull())
 
     return {
@@ -145,15 +146,22 @@ def hydrate(tables: dict[str, DataFrame]) -> DataFrame:
         )
     )
 
+    # explicit ord comparator: natural struct ordering is rejected for
+    # map-bearing structs; arrays here are ≤3 elements, interpretation
+    # cost is nil
     anoms_g = anoms.groupBy("doc_id", "seq").agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct("ord", "type", "severity", "message"))
+                F.collect_list(
+                    F.struct("ord", "type", "severity", "message", "context")
+                ),
+                lambda a, b: a["ord"].cast("int") - b["ord"].cast("int"),
             ),
             lambda x: F.struct(
                 x["type"].alias("type"),
                 x["severity"].alias("severity"),
                 x["message"].alias("message"),
+                x["context"].alias("context"),
             ),
         ).alias("anomalies")
     )
@@ -182,7 +190,8 @@ def hydrate(tables: dict[str, DataFrame]) -> DataFrame:
             F.coalesce(
                 "anomalies",
                 F.array().cast(
-                    "array<struct<type:string,severity:int,message:string>>"
+                    "array<struct<type:string,severity:int,message:string,"
+                    "context:map<string,string>>>"
                 ),
             ).alias("anomalies"),
             "anomaly_score",

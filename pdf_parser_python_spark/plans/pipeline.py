@@ -92,6 +92,7 @@ def parse_raw(
     documents: DataFrame,
     shuffle_partitions: int | None = None,
     engine: str = "packed",
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """documents → raw question rows (pre-finalize).
 
@@ -114,7 +115,8 @@ def parse_raw(
     if engine == "native":
         from ..operators.native import parse_native
 
-        return parse_native(tokenize(documents))
+        # chunk_size: intra-doc parallel segmentation for giant docs
+        return parse_native(tokenize(documents), chunk_size=chunk_size)
     lines = tokenize(documents)
     if engine == "grouped":
         grouped = (
@@ -141,5 +143,20 @@ def extract_questions(documents: DataFrame, **kw) -> DataFrame:
 
 
 def extract_flat_spans(documents: DataFrame, **kw) -> DataFrame:
-    """documents → canonical ordered output spans (§1.4 contract)."""
+    """documents → canonical ordered output spans (§1.4 contract).
+
+    The default packed engine uses the FUSED kernel
+    (dkernel.parse_docs_flat): scan → one mapInPandas emitting flat
+    primitive columns. The Column-API finalize+flatten stage it
+    replaces is interpreted HOF expressions costing ~3× the FSM itself;
+    the fused path is row-equal by test. Other engines keep
+    parse → finalize → flatten (the reference decomposition).
+    """
+    if kw.get("engine", "packed") == "packed" and not kw.get(
+        "shuffle_partitions"
+    ):
+        proj = dkernel.packed_projection(documents)
+        return proj.mapInPandas(
+            dkernel.parse_docs_flat, schema=schema.FLAT_SPAN_SEQ
+        )
     return _flatten.flat_spans(extract_questions(documents, **kw))

@@ -106,6 +106,12 @@ ANOMALY = T.StructType(
         T.StructField("type", T.StringType(), False),
         T.StructField("severity", T.IntegerType(), False),
         T.StructField("message", T.StringType(), False),
+        # reference Anomaly.context (models.py:118): free-form dict —
+        # e.g. orphan_image carries {"section": "question"}
+        # (state_machine.py:408-413)
+        T.StructField(
+            "context", T.MapType(T.StringType(), T.StringType()), True
+        ),
     ]
 )
 
@@ -114,6 +120,21 @@ ANOMALY = T.StructType(
 FLAT_SPAN = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
+        T.StructField("question_number", T.LongType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("order", T.IntegerType(), False),
+    ]
+)
+
+#: flat_spans() output row (FLAT_SPAN + within-doc question seq) — also
+#: the schema of the fused packed→flat kernel (operators/dkernel.py).
+FLAT_SPAN_SEQ = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),
         T.StructField("question_number", T.LongType(), False),
         T.StructField("section", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
