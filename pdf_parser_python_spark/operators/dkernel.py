@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import re
+
 from ..functions.anchors import is_noise_line
 from .pkernel import _COLUMNS, _COMBINED_NOISE, _DocState, _process_rows
 
@@ -37,6 +39,121 @@ _FLAT_COLUMNS = [
     "doc_id", "seq", "question_number", "section", "kind", "text",
     "media_ref", "order",
 ]
+
+_FINAL_COLUMNS = [
+    "doc_id", "seq", "question_number", "question_type", "question_text",
+    "question_images", "options", "answer_text", "answer_images",
+    "explanation_text", "explanation_images", "page_start", "page_end",
+    "anomalies", "anomaly_score", "has_question_text", "has_answer",
+    "has_explanation", "image_count",
+]
+
+#: answer-letter extraction (reference state_machine.py:437-452)
+_LETTER_BOUND = re.compile(r"\b([A-Z])\b")
+_LETTER = re.compile(r"([A-Z])")
+
+
+def _answer_keys(ans: str) -> list[str]:
+    up = ans.strip().upper()
+    if "," in up:
+        ks = [m for part in up.split(",") for m in _LETTER_BOUND.findall(part)]
+    else:
+        ks = _LETTER.findall(up)
+    seen: set[str] = set()
+    out: list[str] = []
+    for k in ks:
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
+def _finalize_row(r: tuple) -> tuple | None:
+    """Python twin of operators/finalize.py (F8/F9/J5 + anomaly
+    stamping + computed fields) for the fused packed path; None for
+    parse_failed sentinels. Row-equality with the Column-API finalize is
+    asserted by tests — that implementation remains the reference one
+    for the other engines."""
+    if r[13]:
+        return None
+    qtext, qimgs, options = r[4], r[5], r[6]
+    ans, aimgs, expl, eimgs = r[7], r[8], r[9], r[10]
+    opts = [o for o in options if o["text"].strip() != "" or o["images"]]
+    if expl != "" and is_noise_line(expl.strip()):
+        expl = ""  # F9
+    has_q = qtext.strip() != ""
+    has_a = ans.strip() != ""
+    hotspot = r[3] == "hotspot"
+    if not hotspot and has_a:
+        keys = _answer_keys(ans)
+        valid = [o["key"].upper() for o in opts]
+        final = [k for k in keys if k in valid] if opts else keys
+        opts = [
+            {
+                "key": o["key"],
+                "text": o["text"],
+                "is_correct": o["key"].upper() in final,
+                "images": o["images"],
+            }
+            for o in opts
+        ]
+    anomalies = []
+    if not has_q:
+        anomalies.append(("missing_question_text", 80,
+                          "Question has no text content", None))
+    if not hotspot and not has_a:
+        anomalies.append(("missing_answer", 60,
+                          "Question has no answer section", None))
+    if not has_q and qimgs:
+        anomalies.append(("orphan_image", 30,
+                          "Question body contains only images",
+                          {"section": "question"}))
+    score = min(100, sum(a[1] for a in anomalies))
+    img_count = (
+        len(qimgs) + len(aimgs) + len(eimgs)
+        + sum(len(o["images"]) for o in opts)
+    )
+    return (
+        r[0], r[1], r[2], r[3], qtext, qimgs, opts, ans, aimgs, expl, eimgs,
+        r[11], r[12],
+        [{"type": t, "severity": s, "message": m, "context": c}
+         for (t, s, m, c) in anomalies],
+        score, has_q, has_a, expl.strip() != "", img_count,
+    )
+
+
+def parse_docs_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint: packed documents → FINALIZED question
+    entities in one fused pass (schema.QUESTION_FINAL)."""
+    yielded = False
+    for pdf in batches:
+        out: list[tuple] = []
+        ids = pdf["doc_id"].to_numpy()
+        kinds = pdf["kinds"].to_numpy()
+        texts = pdf["texts"].to_numpy()
+        refs = pdf["refs"].to_numpy()
+        pages = pdf["pages"].to_numpy()
+        for r in range(len(ids)):
+            pg = pages[r]
+            pg_list = (
+                [1] * len(kinds[r])
+                if pg is None
+                else [1 if p is None else int(p) for p in pg]
+            )
+            for raw in _parse_doc(ids[r], kinds[r], texts[r], refs[r], pg_list):
+                fin = _finalize_row(raw)
+                if fin is not None:
+                    out.append(fin)
+        if out:
+            yielded = True
+            cols = list(zip(*out))
+            yield pd.DataFrame(
+                {c: cols[i] for i, c in enumerate(_FINAL_COLUMNS)}
+            )
+    if not yielded:
+        yield pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in _FINAL_COLUMNS}
+        )
 
 
 def _parse_doc(doc_id: str, kinds, texts, refs, pages) -> list[tuple]:

@@ -138,7 +138,18 @@ def parse_raw(
 
 
 def extract_questions(documents: DataFrame, **kw) -> DataFrame:
-    """documents → finalized question table (the flagship operator)."""
+    """documents → finalized question table (the flagship operator).
+
+    Packed default = fused kernel (parse + finalize in one pass, see
+    extract_flat_spans note); other engines keep parse → native
+    finalize, and tests assert row equality between the two."""
+    if kw.get("engine", "packed") == "packed" and not kw.get(
+        "shuffle_partitions"
+    ):
+        proj = dkernel.packed_projection(documents)
+        return proj.mapInPandas(
+            dkernel.parse_docs_final, schema=schema.QUESTION_FINAL
+        )
     return _finalize.finalize_questions(parse_raw(documents, **kw))
 
 

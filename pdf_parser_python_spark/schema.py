@@ -115,6 +115,21 @@ ANOMALY = T.StructType(
     ]
 )
 
+#: Finalized question entity — finalize_questions() output (and the
+#: fused packed kernel's): QUESTION_RAW minus parse_failed, plus the
+#: anomaly list and computed fields (reference models.py:162-191).
+QUESTION_FINAL = T.StructType(
+    [f for f in QUESTION_RAW.fields if f.name != "parse_failed"]
+    + [
+        T.StructField("anomalies", T.ArrayType(ANOMALY), False),
+        T.StructField("anomaly_score", T.IntegerType(), False),
+        T.StructField("has_question_text", T.BooleanType(), False),
+        T.StructField("has_answer", T.BooleanType(), False),
+        T.StructField("has_explanation", T.BooleanType(), False),
+        T.StructField("image_count", T.IntegerType(), False),
+    ]
+)
+
 #: Canonical flattened output span (the correctness contract, §1.4 of
 #: SURVEY.md; reference crud.py:633-726 `_question_to_blocks`).
 FLAT_SPAN = T.StructType(

@@ -102,6 +102,44 @@ def test_media_features_driver_row_hashable(spark):
     assert pdf["features_json"].str.startswith("[").all()
 
 
+def test_fused_finalize_equals_native_finalize(spark):
+    """The fused packed kernel (parse+finalize in Python) must be
+    row-equal to parse_raw → Column-API finalize on a fault-injected
+    corpus (missing answers, hotspots, multi-letter 'A, D' answers,
+    orphan images, duplicates)."""
+    from pdf_parser_python_spark.operators import finalize
+    from pdf_parser_python_spark.sources.spans import generate_doc_spans
+
+    corpus = [(f"fin-{i}", generate_doc_spans(3100 + i, mean_questions=8))
+              for i in range(12)]
+    docs = spark.createDataFrame(corpus, schema=schema.DOCUMENT_SPANS_EXT)
+
+    def canon(df):
+        rows = df.collect()
+        return sorted(
+            (r.doc_id, r.seq, r.question_number, r.question_type,
+             r.question_text,
+             tuple(r.question_images),
+             tuple((o["key"], o["text"], o["is_correct"],
+                    tuple(o["images"])) for o in r.options),
+             r.answer_text, tuple(r.answer_images),
+             r.explanation_text, tuple(r.explanation_images),
+             r.page_start, r.page_end,
+             tuple((a["type"], a["severity"], a["message"],
+                    tuple(sorted((a["context"] or {}).items())))
+                   for a in r.anomalies),
+             r.anomaly_score, r.has_question_text, r.has_answer,
+             r.has_explanation, r.image_count)
+            for r in rows
+        )
+
+    fused = canon(pipeline.extract_questions(docs))
+    native = canon(
+        finalize.finalize_questions(pipeline.parse_raw(docs, engine="native"))
+    )
+    assert fused == native and len(fused) > 50
+
+
 def test_lsh_bucket_cap_defuses_mass_duplicate_skew(spark):
     """10⁴ identical vectors land in ONE signature bucket: without the
     cap the self-join materializes ~5·10⁷ pairs; with it the bucket is
