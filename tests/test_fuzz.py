@@ -125,3 +125,61 @@ def test_fuzz_kernel_matches_reference(items):
     expected = flatten_doc(run_reference(spans))
     got = _kernel_flat(spans)
     assert got == expected
+
+
+def _arrays(spans):
+    kinds = [s["kind"] for s in spans]
+    texts = [s["text"] for s in spans]
+    refs = [s["media_ref"] for s in spans]
+    pages = [int(s.get("page") or 1) for s in spans]
+    return kinds, texts, refs, pages
+
+
+@given(st.lists(SPAN, min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_fused_flat_kernel_matches_reference(items):
+    """The fused packed→flat kernel (dkernel._parse_doc +
+    _flatten_rows: F8/F9 + §1.4 flatten in Python) against the live
+    reference FSM's finalized questions."""
+    from pdf_parser_python_spark.operators import dkernel
+
+    spans = _spans(items)
+    expected = flatten_doc(run_reference(spans))
+    raw = dkernel._parse_doc("f", *_arrays(spans))
+    got = [(r[2], r[3], r[4], r[5], r[6], r[7])
+           for r in dkernel._flatten_rows(raw)]
+    assert got == expected
+
+
+@given(st.lists(SPAN, min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_fused_finalize_matches_reference(items):
+    """The fused finalize (J5 answer marking, anomaly stamping incl.
+    context, computed fields) against the reference's finalized
+    entities."""
+    from pdf_parser_python_spark.operators import dkernel
+
+    spans = _spans(items)
+    exp = [
+        (
+            q["question_number"], q["question_type"],
+            [(o["key"], o["is_correct"]) for o in q["options"]],
+            [(a["type"], a["severity"], a.get("context"))
+             for a in q["anomalies"]],
+            q["anomaly_score"], q["page_start"], q["page_end"],
+        )
+        for q in run_reference(spans)
+    ]
+    raw = dkernel._parse_doc("f", *_arrays(spans))
+    got = []
+    for r in raw:
+        f = dkernel._finalize_row(r)
+        if f is None:
+            continue
+        got.append((
+            f[2], f[3],
+            [(o["key"], o["is_correct"]) for o in f[6]],
+            [(a["type"], a["severity"], a["context"]) for a in f[13]],
+            f[14], f[11], f[12],
+        ))
+    assert got == exp
