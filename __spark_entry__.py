@@ -5,9 +5,12 @@ deterministically from ``sf0.001/documents.parquet`` (native Column
 ops only, BASELINE.json input_hint shape).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (+ training-data ops), DuckDB-checkable where the
-semantics are ANSI-SQL-expressible; extraction/FSM entries are
-rows-only (no SQL oracle — stateful segmentation).
+from SURVEY.md §2 (+ training-data ops). 40 of 41 queries carry a full
+DuckDB oracle, INCLUDING the stateful-FSM extraction queries (the FSM
+decomposes into window cumsums + ordered string_agg —
+functions/oracle.py) and the dedup/ANN family (md5-derived pluggable
+hashing — functions/hashing.py). The one rows-only entry is
+media_features (synthesized non-tabular input).
 """
 
 from __future__ import annotations
