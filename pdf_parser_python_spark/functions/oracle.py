@@ -115,7 +115,8 @@ c2 AS (
     SELECT *,
            qnum_s <> '' AND NOT is_solo AS is_q,
            CASE WHEN qnum_s <> '' AND NOT is_solo THEN
-               CASE WHEN length(qnum_s) > 18 THEN {_QNUM_CAP}
+               CASE WHEN length(regexp_replace(qnum_s, '^0+', '')) > 18
+                    THEN {_QNUM_CAP}
                     ELSE qnum_s::BIGINT END END AS qn,
            qnum_s = '' AND NOT hot_m AND okey_raw <> '' AS is_opt_c,
            qnum_s = '' AND hot_m AS is_hot,
@@ -309,7 +310,8 @@ _TOKS_RAW = ("list_filter(regexp_split_to_array(trim(text), '\\s+'),"
 
 
 def dedup_minhash_sql(k: int = 32, bands: int = 16,
-                      threshold: float = 0.5) -> str:
+                      threshold: float = 0.5,
+                      max_bucket: int = 4096) -> str:
     rpb = k // bands
     h_shingle = md5_64_sql("s", "j::VARCHAR")
     band_key = " || ':' || ".join(
@@ -330,8 +332,11 @@ sigs AS (
                list_min(list_transform(sh, s -> {h_shingle}))) AS sig
     FROM sh),
 bkts AS (
+    -- mirrors the operator's max_bucket skew guard (dedup.py): band
+    -- buckets beyond the cap are dropped on BOTH sides
     SELECT doc_id, sig, b, {h_band} AS bucket
-    FROM sigs, (SELECT unnest(range(0, {bands})) AS b)),
+    FROM sigs, (SELECT unnest(range(0, {bands})) AS b)
+    QUALIFY count(*) OVER (PARTITION BY b, {h_band}) <= {max_bucket}),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.sig AS sig_a, b.sig AS sig_b
@@ -558,7 +563,8 @@ def extract_rescan_sql(q: int = 8) -> str:
     return f"""WITH {_fsm_ctes(q)},
 rawdet AS (
     SELECT DISTINCT doc_id,
-           (CASE WHEN length(m) > 18 THEN {_QNUM_CAP}
+           (CASE WHEN length(regexp_replace(m, '^0+', '')) > 18
+                 THEN {_QNUM_CAP}
                  ELSE m::BIGINT END) AS qn
     FROM (SELECT doc_id, unnest(regexp_extract_all(u.line, '{raw_re}', 1)) AS m
           FROM rawlines0 WHERE u.kind = 'text')),

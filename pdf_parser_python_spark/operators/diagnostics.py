@@ -47,7 +47,10 @@ def raw_scan_questions(documents: DataFrame) -> DataFrame:
         ).alias("qnum_s"),
     )
     qn = F.when(
-        F.length("qnum_s") > 18, F.lit(10**18 - 1)
+        # value-based clamp (leading zeros stripped) — mirrors the
+        # engines' min(int(qnum), QNUM_CAP) semantics
+        F.length(F.regexp_replace(F.col("qnum_s"), "^0+", "")) > 18,
+        F.lit(10**18 - 1),
     ).otherwise(F.col("qnum_s").cast("long"))
     return (
         hits.select("doc_id", qn.alias("question_number"), "offset", "page")

@@ -138,7 +138,7 @@ def parse_docs_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pg_list = (
                 [1] * len(kinds[r])
                 if pg is None
-                else [1 if p is None else int(p) for p in pg]
+                else [1 if p is None or p != p else int(p) for p in pg]
             )
             for raw in _parse_doc(ids[r], kinds[r], texts[r], refs[r], pg_list):
                 fin = _finalize_row(raw)
@@ -204,7 +204,7 @@ def parse_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pg_list = (
                 [1] * len(kinds[r])
                 if pg is None
-                else [1 if p is None else int(p) for p in pg]
+                else [1 if p is None or p != p else int(p) for p in pg]
             )
             out.extend(_parse_doc(ids[r], kinds[r], texts[r], refs[r], pg_list))
         if out:
@@ -284,7 +284,7 @@ def parse_docs_flat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pg_list = (
                 [1] * len(kinds[r])
                 if pg is None
-                else [1 if p is None else int(p) for p in pg]
+                else [1 if p is None or p != p else int(p) for p in pg]
             )
             out.extend(
                 _flatten_rows(

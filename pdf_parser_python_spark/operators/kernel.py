@@ -104,10 +104,12 @@ def classify_lines(text: pd.Series) -> tuple[np.ndarray, np.ndarray, list]:
     codes[q_drop.to_numpy()] = DROP
     qi = q_real.to_numpy().nonzero()[0]
     if len(qi):
-        # clamp >18-digit numbers (QNUM_CAP) before the int64 cast —
-        # astype would raise on values beyond int64 range
+        # clamp numbers beyond int64 range to QNUM_CAP before the cast —
+        # astype would raise otherwise. Clamp on the numeric VALUE (strip
+        # leading zeros first), matching the reference's plain int()
+        # (state_machine.py:217): '0...05' is 5, not a 19-digit string.
         qs = q[q_real]
-        qs = qs.mask(qs.str.len() > 18, str(A.QNUM_CAP))
+        qs = qs.mask(qs.str.lstrip("0").str.len() > 18, str(A.QNUM_CAP))
         qnums[qi] = qs.astype(np.int64).to_numpy()
         rem = text[q_real].str.replace(A.RE_QUESTION, "", n=1, regex=True).str.strip()
         for i, r in zip(qi, rem):

@@ -90,8 +90,13 @@ def parse_native(lines: DataFrame, chunk_size: int | None = None) -> DataFrame:
             "_qn",
             F.when(
                 is_q,
-                F.when(F.length(qnum_s) > 18, F.lit(A.QNUM_CAP))
-                .otherwise(qnum_s.cast("long")),
+                # value-based clamp: strip leading zeros before the
+                # >18-digit test (reference uses plain int(), so
+                # '0...05' is 5 — state_machine.py:217)
+                F.when(
+                    F.length(F.regexp_replace(qnum_s, "^0+", "")) > 18,
+                    F.lit(A.QNUM_CAP),
+                ).otherwise(qnum_s.cast("long")),
             ),
         )
         .withColumn("_cover", ~is_img & is_cover)

@@ -75,9 +75,11 @@ def validation_report(questions: DataFrame) -> DataFrame:
                 F.array_except(F.sequence("_mn", "_mx"), F.col("_actual"))
             ),
         )
-        .otherwise(F.array())
+        # suppressed ranges report NULL, not [] — an empty array would
+        # be indistinguishable from a genuinely gap-free document
+        .otherwise(F.lit(None))
         .cast("array<bigint>"),
-    )
+    ).withColumn("gap_list_suppressed", ~sane)
 
     # duplicates (validator.py:61-67): numbers appearing more than once.
     # Derived from the already-collected per-doc number list instead of

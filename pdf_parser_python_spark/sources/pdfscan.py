@@ -154,7 +154,10 @@ def _parse_fitz(
                     except Exception:
                         base = None
                     if not base:
-                        xref_cache[xref] = None
+                        # do NOT cache the failure: the reference only
+                        # caches successful extractions, so a transient
+                        # per-page decode error is retried on later
+                        # pages (block_extractor.py image loop)
                         continue
                     data = base["image"]
                     h = hashlib.md5(data).hexdigest()

@@ -31,6 +31,60 @@ def test_engines_agree(spark):
     assert len(packed) > 200
 
 
+def test_zero_padded_and_overflow_qnum_clamp(spark):
+    """ADVICE r2 (medium): clamp question numbers on the numeric VALUE
+    everywhere — '0…05' is 5 (the reference's plain int(),
+    state_machine.py:217), not a >18-char digit string; only values
+    beyond int64 clamp to QNUM_CAP, identically in every engine."""
+    from pdf_parser_python_spark.functions import anchors as A
+
+    spans = []
+    for off, line in enumerate([
+        "Question: 0005",
+        "padded body",
+        "Question: 0000000000000000000000042",  # 25 digits, value 42
+        "value fits int64",
+        "Question: 99999999999999999999",  # 20 digits > int64 → CAP
+        "overflow body",
+    ]):
+        spans.append({"kind": "text", "text": line, "media_ref": "",
+                      "offset": off, "page": 1})
+    docs = spark.createDataFrame(
+        [("zp", spans)], schema=schema.DOCUMENT_SPANS_EXT
+    )
+    per_engine = {}
+    for engine in ("packed", "partition", "grouped", "native"):
+        rows = pipeline.parse_raw(docs, engine=engine).collect()
+        per_engine[engine] = sorted(
+            (r.seq, r.question_number) for r in rows
+        )
+    vals = list(per_engine.values())
+    assert all(v == vals[0] for v in vals), per_engine
+    assert [n for _, n in vals[0]] == [5, 42, A.QNUM_CAP]
+
+    # the int64-representable ones must match the live reference exactly
+    from .oracle import run_reference
+
+    ref = run_reference(spans[:4])
+    assert [q["question_number"] for q in ref] == [5, 42]
+
+
+def test_packed_handles_mixed_null_pages(spark):
+    """A null page ELEMENT inside an otherwise non-null page array
+    arrives in the Arrow batch as NaN (float), not None — the packed
+    kernel must coerce it to page 1, not crash on int(NaN)."""
+    spans = [
+        {"kind": "text", "text": None, "media_ref": None, "offset": 0,
+         "page": None},
+        {"kind": "text", "text": "Question: 3 q", "media_ref": None,
+         "offset": 1, "page": 2},
+    ]
+    d = spark.createDataFrame([("z", spans)],
+                              schema=schema.DOCUMENT_SPANS_EXT)
+    rows = pipeline.extract_questions(d).collect()
+    assert [r.question_number for r in rows] == [3]
+
+
 def test_packed_handles_unsorted_spans(spark):
     spans = generate_doc_spans(7777, mean_questions=5)
     shuffled = list(reversed(spans))  # offsets encode the true order

@@ -21,6 +21,10 @@ WORDS = st.sampled_from([
     "Questions and Answers PDF", "Box 1:", "text", "body", "B, C", "5",
     "Question 5", "Question: 5", "Question:5", "Question 5 extra",
     "Correct Answer: A", ":", ".", "", " ", "\tQuestion: 7\r",
+    # zero-padded anchors: the value (not digit-string length) decides
+    # the int64 clamp — '0...042' must parse as 42 in every engine
+    "Question: 0005", "Question: 0000000000000000000000042",
+    "Question 007:", "Question: 000",
 ])
 
 LINE = st.builds(

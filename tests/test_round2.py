@@ -178,6 +178,8 @@ def test_gap_detection_survives_clamped_range(spark):
     ]
     d = spark.createDataFrame([("rng", spans)], schema=schema.DOCUMENT_SPANS_EXT)
     rep = validation_report(pipeline.extract_questions(d)).first()
-    # absurd range: no gap explosion, no job failure, empty list instead
-    assert rep.missing_question_numbers == []
+    # absurd range: no gap explosion, no job failure — the list is
+    # suppressed and SAYS so (NULL + flag, not a misleading [])
+    assert rep.missing_question_numbers is None
+    assert rep.gap_list_suppressed is True
     assert rep.total_questions_detected == 2
