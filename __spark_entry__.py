@@ -652,18 +652,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivf_topk"] = sim_ivf_topk
 
-    # — multimodal plumbing (rows-only; payload decode is gated on
-    #   codec availability). The features array is projected to JSON:
-    #   the driver's canonicalizer sorts/hashes row values and dies on
-    #   an unhashable list —
+    # — multimodal plumbing, now fully oracled: md5 feature hasher +
+    #   hex digest (DuckDB-reproducible), decode off (environment-
+    #   independent), features projected to an exact integer grid
+    #   string, entropy rounded floor(x*1e6+0.5) on both sides —
     def media_features(spark, sf):
         from pdf_parser_python_spark.operators import media
 
         m = media.synthetic_media(spark, 64)
-        feats = media.extract_features(media.size_filter(m))
+        feats = media.extract_features(
+            media.size_filter(m), feature_dim=16,
+            feature_hasher="md5", digest_over="hex", decode=False,
+        )
+        grid = F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.round(x * 10000).cast("int").cast("string"),
+            ),
+        )
         return feats.select(
-            "media_ref", "sha256", "n_bytes", "entropy_proxy",
-            F.to_json("features").alias("features_json"),
+            "media_ref", "sha256", "n_bytes",
+            (F.floor(F.col("entropy_proxy") * 1_000_000 + 0.5)
+             / 1_000_000).alias("entropy6"),
+            grid.alias("feature_grid"),
         )
 
     q["media_features"] = media_features
@@ -736,6 +748,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _oracle.dedup_embedding_sql(),
         "sim_lsh_topk": _oracle.sim_lsh_topk_sql(),
         "sim_ivf_topk": _oracle.sim_ivf_topk_sql(),
+        # — multimodal features: corpus is a pure function of the index,
+        #   synthesized in SQL over range(0,64) (functions/oracle.py) —
+        "media_features": _oracle.media_features_sql(),
         "text_profile": _oracle.text_profile_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt

@@ -350,6 +350,44 @@ WHERE round(len(list_filter(range(1, {k}+1), p -> sig_a[p] = sig_b[p]))
             / {k}.0, 4) >= {threshold}"""
 
 
+def media_features_sql(n: int = 64, dim: int = 16) -> str:
+    """Multimodal feature extraction (operators/media.py): the
+    synthetic media corpus is a pure function of its index, so the
+    whole pipeline — payload synthesis, F4 size filter, sha256 digest,
+    Shannon entropy, md5-derived feature grid — re-expresses in DuckDB
+    over range(0, n). Digest is over the lowercase-hex encoding
+    (digest_over="hex": DuckDB 1.0 sha256 only takes VARCHAR); entropy
+    rounds via floor(x*1e6+0.5) on both sides (Python round() is
+    banker's, DuckDB's is half-away — repeated-digest payloads land on
+    exact dyadic entropies, so the tie rule genuinely fires)."""
+    fcols = " || ',' || ".join(
+        f"((('0x' || substr(md5('{d}:' || hx), 1, 15))::BIGINT"
+        f" % 10000)::VARCHAR)"
+        for d in range(dim)
+    )
+    return f"""
+WITH idx AS (SELECT unnest(range(0, {n})) AS i),
+m AS (
+    SELECT i, 'img://syn/' || i AS media_ref,
+           ['image','audio','video'][(i % 3) + 1] AS media_type,
+           64 + i % 512 AS w, 48 + i % 256 AS h,
+           unhex(repeat(sha256('media-' || i), 4 + i % 7)) AS payload
+    FROM idx),
+kept AS (
+    SELECT media_ref, lower(hex(payload)) AS hx,
+           octet_length(payload) AS n
+    FROM m WHERE NOT (media_type = 'image' AND (w < 50 OR h < 50)))
+SELECT media_ref, sha256(hx) AS sha256, n::INT AS n_bytes,
+       floor((SELECT -sum((cnt/nn)*log2(cnt/nn))
+              FROM (SELECT count(*)::DOUBLE AS cnt, n::DOUBLE AS nn
+                    FROM unnest(list_transform(range(0, n),
+                         j -> substring(hx, 2*j+1, 2))) AS t(bb)
+                    GROUP BY nn, bb)) / 8.0 * 1000000 + 0.5) / 1000000
+           AS entropy6,
+       {fcols} AS feature_grid
+FROM kept"""
+
+
 def dedup_simhash_sql(max_hamming: int = 3) -> str:
     from ..operators.dedup import simhash_blocks
 

@@ -101,6 +101,38 @@ def _fake_features(b: bytes, feature_dim: int) -> list[float]:
     ]
 
 
+def _md5_features(b: bytes, feature_dim: int) -> list[float]:
+    """md5-derived featurization, bit-equal to the DuckDB oracle's
+    ``('0x' || substr(md5(d || ':' || lower(hex(payload))), 1, 15))::BIGINT``
+    (same construction as functions/hashing.md5_64, seed = grid index)."""
+    hx = b.hex()
+    return [
+        float(
+            int(hashlib.md5(f"{d}:{hx}".encode()).hexdigest()[:15], 16)
+            % 10_000
+        )
+        / 10_000.0
+        for d in range(feature_dim)
+    ]
+
+
+def _shannon_entropy(b: bytes) -> float:
+    """Byte-histogram Shannon entropy, normalized to [0, 1] (bits per
+    byte / 8). Replaces the round-1 zlib-ratio proxy: same monotone
+    signal, but exactly re-expressible in the DuckDB oracle."""
+    import math
+
+    n = len(b)
+    if not n:
+        return 0.0
+    counts: dict[int, int] = {}
+    for x in b:
+        counts[x] = counts.get(x, 0) + 1
+    return -sum(
+        (c / n) * math.log2(c / n) for c in counts.values()
+    ) / 8.0
+
+
 def _pil_features(b: bytes, feature_dim: int) -> list[float] | None:
     """Real decode path: grayscale-downsample the image and emit mean
     pixel intensity per grid cell. Returns None when the payload is not
@@ -122,7 +154,13 @@ def _pil_features(b: bytes, feature_dim: int) -> list[float] | None:
         return None
 
 
-def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    feature_dim: int = 16,
+    feature_hasher: str = "crc32",
+    digest_over: str = "bytes",
+    decode: bool = True,
+) -> DataFrame:
     """Decode + featurize via mapInPandas.
 
     With codecs present (HAVE_CODECS) images are decoded with PIL into
@@ -130,27 +168,41 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
     fail to decode — and all rows when codec libs are absent, as in
     this container — get a deterministic payload-hash featurization.
     The batch shape, schema, and partitioning are the production ones.
+
+    Pluggable knobs (same pattern as the dedup family's ``hasher``):
+
+    - ``feature_hasher``: ``"crc32"`` (production default, fastest) or
+      ``"md5"`` (bit-reproducible in DuckDB — used by the
+      driver-contract query so this stage gets hash-checked);
+    - ``digest_over``: ``"bytes"`` (sha256 of the raw payload,
+      production default) or ``"hex"`` (sha256 of the lowercase hex
+      encoding — DuckDB 1.0's sha256() only accepts VARCHAR, so the
+      oracle-checked variant digests the hex form);
+    - ``decode``: set False to skip the PIL decode attempt entirely so
+      the output is environment-independent (the oracle-checked query
+      does this — a PIL-decoded grid has no SQL re-expression).
+
+    ``entropy_proxy`` is byte-histogram Shannon entropy normalized to
+    [0, 1] — deterministic and SQL-expressible, unlike a compression
+    ratio.
     """
+    fallback = _md5_features if feature_hasher == "md5" else _fake_features
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload or b"")
-                sha = hashlib.sha256(b).hexdigest()
-                feats = _pil_features(b, feature_dim) if HAVE_CODECS else None
-                if feats is None:
-                    feats = _fake_features(b, feature_dim)
-                comp = len(zlib.compress(b)) if b else 0
-                out.append(
-                    (
-                        ref,
-                        sha,
-                        len(b),
-                        round(comp / len(b), 6) if b else 0.0,
-                        feats,
-                    )
+                digest_src = b.hex().encode() if digest_over == "hex" else b
+                sha = hashlib.sha256(digest_src).hexdigest()
+                feats = (
+                    _pil_features(b, feature_dim)
+                    if (decode and HAVE_CODECS)
+                    else None
                 )
+                if feats is None:
+                    feats = fallback(b, feature_dim)
+                out.append((ref, sha, len(b), _shannon_entropy(b), feats))
             yield pd.DataFrame(
                 out, columns=["media_ref", "sha256", "n_bytes",
                               "entropy_proxy", "features"]
