@@ -103,9 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pipeline.extract_flat_spans(_spans_table(spark, sf))
 
     def extract_validation(spark, sf):
+        # fused path: the report is computed inside the parse kernel —
+        # one pass, no second FSM run (pipeline.extract_validation)
         _ensure_shipped(spark)
-        qs = pipeline.extract_questions(_spans_table(spark, sf))
-        return _validate.validation_report(qs).select(
+        return pipeline.extract_validation(_spans_table(spark, sf)).select(
             "doc_id", "total_questions_detected", "structured_successfully",
             "orphan_images", "success_rate",
         )

@@ -156,6 +156,107 @@ def parse_docs_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+_VALIDATION_COLUMNS = [
+    "doc_id", "total_questions_detected", "structured_successfully",
+    "questions_missing_answer", "questions_missing_explanation",
+    "failed_to_structure", "orphan_images", "missing_question_numbers",
+    "gap_list_suppressed", "duplicate_question_numbers",
+    "anomaly_breakdown", "success_rate",
+]
+
+
+def _round_half_up2(x: float) -> float:
+    """Spark's F.round = BigDecimal(double) HALF_UP — replicated exactly
+    (Python's round() is banker's and would diverge on exact ties like
+    3.125)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.01"), ROUND_HALF_UP))
+
+
+def _validate_doc(fins: list[tuple]) -> tuple | None:
+    """Python twin of operators/validate.validation_report for the
+    fused packed path (reference validator.py:39-158): one
+    ValidationReport tuple from a doc's finalized rows. Row-equality
+    with the relational operator is asserted by tests — that
+    implementation remains the reference one. None when the doc
+    produced no questions (groupBy emits no row for such docs)."""
+    if not fins:
+        return None
+    doc_id = fins[0][0]
+    total = len(fins)
+    structured = sum(1 for r in fins if r[15] and r[16])
+    missing_answer = [r[2] for r in fins if not r[16]]
+    missing_expl = [r[2] for r in fins if not r[17]]
+    failed = [r[2] for r in fins if not (r[15] and r[16])]
+    orphans = sum(
+        1 for r in fins if any(a["type"] == "orphan_image" for a in r[13])
+    )
+    nums = [r[2] for r in fins]
+    mn, mx = min(nums), max(nums)
+    sane = (mx - mn) <= 1_000_000
+    actual = set(nums)
+    missing_nums = (
+        sorted(set(range(mn, mx + 1)) - actual) if sane else None
+    )
+    seen: set[int] = set()
+    dup: set[int] = set()
+    for n in nums:
+        if n in seen:
+            dup.add(n)
+        seen.add(n)
+    types = [a["type"] for r in fins for a in r[13]]
+    breakdown = {t: types.count(t) for t in sorted(set(types))}
+    rate = _round_half_up2(structured / total * 100) if total else 0.0
+    return (
+        doc_id, total, structured, missing_answer, missing_expl, failed,
+        orphans, missing_nums, not sane, sorted(dup), breakdown, rate,
+    )
+
+
+def validate_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint: packed documents → per-doc
+    ValidationReport rows in the SAME pass as the parse (zero shuffle,
+    tiny output — no question text ever crosses the Arrow boundary).
+    Replaces extract_questions → validation_report when the consumer
+    only wants the report: that pipeline pays the full FSM parse just
+    to aggregate it away."""
+    yielded = False
+    for pdf in batches:
+        out: list[tuple] = []
+        ids = pdf["doc_id"].to_numpy()
+        kinds = pdf["kinds"].to_numpy()
+        texts = pdf["texts"].to_numpy()
+        refs = pdf["refs"].to_numpy()
+        pages = pdf["pages"].to_numpy()
+        for r in range(len(ids)):
+            pg = pages[r]
+            pg_list = (
+                [1] * len(kinds[r])
+                if pg is None
+                else [1 if p is None or p != p else int(p) for p in pg]
+            )
+            fins = [
+                fin
+                for raw in _parse_doc(ids[r], kinds[r], texts[r], refs[r],
+                                      pg_list)
+                if (fin := _finalize_row(raw)) is not None
+            ]
+            rep = _validate_doc(fins)
+            if rep is not None:
+                out.append(rep)
+        if out:
+            yielded = True
+            cols = list(zip(*out))
+            yield pd.DataFrame(
+                {c: cols[i] for i, c in enumerate(_VALIDATION_COLUMNS)}
+            )
+    if not yielded:
+        yield pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in _VALIDATION_COLUMNS}
+        )
+
+
 def _parse_doc(doc_id: str, kinds, texts, refs, pages) -> list[tuple]:
     """One packed document → raw question rows.
 

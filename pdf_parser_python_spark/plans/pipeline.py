@@ -153,6 +153,30 @@ def extract_questions(documents: DataFrame, **kw) -> DataFrame:
     return _finalize.finalize_questions(parse_raw(documents, **kw))
 
 
+def extract_validation(documents: DataFrame, **kw) -> DataFrame:
+    """documents → per-doc ValidationReport (reference validator.py).
+
+    The default packed engine computes the report INSIDE the parse
+    kernel (dkernel.validate_docs): one scan → mapInPandas pass, zero
+    shuffle, and no question text ever crosses the Arrow boundary —
+    where extract_questions → validation_report pays the full FSM parse
+    and then aggregates it away (r2 bench: 6.99 s vs 5.69 s for the
+    parse alone at sf0.1). Other engines keep the relational
+    decomposition (operators/validate.py), row-equal by test."""
+    if kw.get("engine", "packed") == "packed" and not kw.get(
+        "shuffle_partitions"
+    ):
+        from ..operators import dkernel as _dk
+
+        proj = dkernel.packed_projection(documents)
+        return proj.mapInPandas(
+            _dk.validate_docs, schema=schema.VALIDATION_REPORT
+        )
+    from ..operators.validate import validation_report
+
+    return validation_report(extract_questions(documents, **kw))
+
+
 def extract_flat_spans(documents: DataFrame, **kw) -> DataFrame:
     """documents → canonical ordered output spans (§1.4 contract).
 

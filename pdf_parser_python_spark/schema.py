@@ -159,6 +159,41 @@ FLAT_SPAN_SEQ = T.StructType(
     ]
 )
 
+#: Per-document ValidationReport (reference validator.py:39-158) — the
+#: output of operators/validate.validation_report AND of the fused
+#: packed kernel's validate_docs (dkernel), which computes it in the
+#: same pass as the parse so validation never re-runs the FSM.
+VALIDATION_REPORT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("total_questions_detected", T.IntegerType(), False),
+        T.StructField("structured_successfully", T.IntegerType(), False),
+        T.StructField(
+            "questions_missing_answer", T.ArrayType(T.LongType()), False
+        ),
+        T.StructField(
+            "questions_missing_explanation", T.ArrayType(T.LongType()), False
+        ),
+        T.StructField(
+            "failed_to_structure", T.ArrayType(T.LongType()), False
+        ),
+        T.StructField("orphan_images", T.IntegerType(), False),
+        T.StructField(
+            "missing_question_numbers", T.ArrayType(T.LongType()), True
+        ),
+        T.StructField("gap_list_suppressed", T.BooleanType(), False),
+        T.StructField(
+            "duplicate_question_numbers", T.ArrayType(T.LongType()), False
+        ),
+        T.StructField(
+            "anomaly_breakdown",
+            T.MapType(T.StringType(), T.IntegerType()),
+            False,
+        ),
+        T.StructField("success_rate", T.DoubleType(), False),
+    ]
+)
+
 # ── lineage / metrics (checkpoint-resume contract) ───────────────────────
 
 LINEAGE = T.StructType(

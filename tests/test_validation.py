@@ -39,6 +39,29 @@ def corpus():
     }
 
 
+def test_fused_validation_equals_relational(spark):
+    """pipeline.extract_validation's packed fast path (report computed
+    inside the parse kernel, dkernel.validate_docs) must be row-equal
+    to the relational operator over the grouped engine — every column,
+    including gap/duplicate lists, breakdown map, and success_rate's
+    HALF_UP rounding."""
+    from pdf_parser_python_spark.sources.spans import generate_doc_spans
+
+    corpus = [
+        (f"v-{i:03d}", generate_doc_spans(9000 + i, mean_questions=7))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(corpus, schema=schema.DOCUMENT_SPANS_EXT)
+    fused = pipeline.extract_validation(docs)
+    rel = validation_report(
+        pipeline.extract_questions(docs, engine="grouped")
+    )
+    cols = fused.columns
+    a = sorted(repr(r) for r in fused.collect())
+    b = sorted(repr(r) for r in rel.select(cols).collect())
+    assert a == b and len(a) == 20
+
+
 def test_validation_report_matches_reference(spark, corpus):
     docs = spark.createDataFrame(
         list(corpus.items()), schema=schema.DOCUMENT_SPANS_EXT
