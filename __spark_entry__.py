@@ -92,11 +92,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # — extraction core (stateful FSM: rows-only checks) —
     def extract_questions(spark, sf):
+        # scalar projection via the vectorized kernel — row-equal to
+        # pipeline.extract_questions(...).select(these 7 columns)
         _ensure_shipped(spark)
-        return pipeline.extract_questions(_spans_table(spark, sf)).select(
-            "doc_id", "seq", "question_number", "question_type",
-            "question_text", "answer_text", "anomaly_score",
-        )
+        return pipeline.extract_question_scalars(_spans_table(spark, sf))
 
     def extract_flat_spans(spark, sf):
         _ensure_shipped(spark)

@@ -1,0 +1,683 @@
+"""Vectorized packed kernel — Arrow/RE2/numpy, no per-line Python.
+
+Profiling the fused pandas kernel (BENCH.md) puts ~80% of stage time
+in (a) materializing every span string as a Python object and (b) the
+per-line Python FSM loop, while one RE2 pass over ALL span texts costs
+~0.05 s per 350k spans. This kernel keeps strings inside Arrow end to
+end:
+
+1. explode spans → lines arrow-side (``split_pattern`` + flatten),
+   strip with the exact Python ``str.strip()`` whitespace set;
+2. classify every line with a handful of RE2 passes
+   (``match_substring_regex`` / ``extract_regex``) — same grammar
+   constants as every other engine (functions/anchors.py), with
+   Python-``re`` alternation priority resolved by boolean masks (every
+   alternative anchors at the first non-ws char, so independent masks
+   + priority == the combined alternation the pandas kernels use);
+3. run the FSM as numpy segmented cumsums — the same closed-form
+   decomposition :mod:`.native` proves in Catalyst (state only ever
+   advances within a question);
+4. assemble output strings with stable lexsort + ``binary_join`` —
+   fragments never become Python objects.
+
+Dialect safety: RE2's ``\\s``/``\\b`` are ASCII-only while Python's
+are Unicode-aware, so ``\\s`` is rewritten to the explicit ASCII class
+Python would match (``[\\t-\\r\\x1c-\\x1f ]``) and any document
+containing a non-ASCII character is routed to the row-exact Python
+kernel (:mod:`.dkernel`) instead — bit-equality with the reference FSM
+is never traded for speed. Tests assert all engines agree and the fuzz
+suite ties this path to the live reference.
+
+Reference semantics: /root/reference/parser/state_machine.py:133-366
+(segmentation), crud.py:633-726 (flatten contract).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import anchors as A
+
+# ── RE2 forms of the shared grammar ──────────────────────────────────────
+# Python \s on ASCII text = [\t\n\x0b\x0c\r \x1c-\x1f]; RE2's \s misses
+# \x0b and \x1c-\x1f. Non-ASCII input never reaches these patterns
+# (ascii routing below), so the explicit ASCII class is exact.
+_WS_IN = "\\t-\\r\\x1c-\\x1f "  # class innards
+
+
+def _re2(pattern: str, ci: bool) -> str:
+    # RE2 has no nested classes, so \s INSIDE [...] (e.g. [\s.:],
+    # [\s,]) must expand to the raw innards, not a bracketed class
+    import re as _pyre
+
+    p = _pyre.sub(
+        r"\[(?:[^\]\\]|\\.)*\]",
+        lambda m: m.group(0).replace("\\s", _WS_IN),
+        pattern,
+    )
+    p = p.replace("\\S", f"[^{_WS_IN}]")
+    p = p.replace("\\s", f"[{_WS_IN}]")
+    return ("(?i)" + p) if ci else p
+
+
+_R_QUESTION = _re2(A.QUESTION, True).replace("(\\d+)", "(?P<q>\\d+)")
+_R_OPTION = _re2(A.OPTION, False).replace("([A-Za-z])", "(?P<k>[A-Za-z])")
+_R_ANSWER = _re2(A.ANSWER, True)
+_R_EXPLANATION = _re2(A.EXPLANATION, True)
+_R_HOTSPOT = _re2(A.HOTSPOT, True)
+_R_NOISE_CI = _re2(A.NOISE_CI, True)
+_R_NOISE_CS = _re2(A.NOISE_CS, False)
+_R_COVER = _re2(A.COVER_NOISE, False)
+
+#: Python str.strip() whitespace, ASCII subset (utf8_trim char set)
+_STRIP_CHARS = "\t\n\x0b\x0c\r \x1c\x1d\x1e\x1f"
+
+_SECTIONS = pa.array(["question", "options", "answer", "explanation"])
+_KINDS = pa.array(["text", "image"])
+
+FLAT_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("seq", pa.int32()),
+        ("question_number", pa.int64()),
+        ("section", pa.string()),
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("order", pa.int32()),
+    ]
+)
+
+QUESTION_SCALARS_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("seq", pa.int32()),
+        ("question_number", pa.int64()),
+        ("question_type", pa.string()),
+        ("question_text", pa.string()),
+        ("answer_text", pa.string()),
+        ("anomaly_score", pa.int32()),
+    ]
+)
+
+
+def _np(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _m(arr: pa.Array, pattern: str) -> np.ndarray:
+    return _np(pc.match_substring_regex(arr, pattern=pattern)
+               .fill_null(False))
+
+
+def _run_starts(key: np.ndarray) -> np.ndarray:
+    out = np.ones(len(key), dtype=bool)
+    if len(key) > 1:
+        out[1:] = key[1:] != key[:-1]
+    return out
+
+
+def _start_index(start_mask: np.ndarray) -> np.ndarray:
+    """Per row: index of its run's first row (start_mask[0] must hold)."""
+    n = len(start_mask)
+    return np.maximum.accumulate(np.where(start_mask, np.arange(n), 0))
+
+
+def _run_cumsum(x: np.ndarray, start_idx: np.ndarray,
+                inclusive: bool) -> np.ndarray:
+    c = np.cumsum(x)
+    excl = c - x
+    base = excl[start_idx]
+    return (c - base) if inclusive else (excl - base)
+
+
+def _qnum_i64(qs: pa.Array) -> np.ndarray:
+    """Anchor digit string → int64, clamping values beyond int64 to
+    QNUM_CAP (value-based: leading zeros stripped first — the reference
+    uses plain int(), state_machine.py:217)."""
+    stripped = pc.utf8_ltrim(qs, characters="0")
+    big = _np(pc.greater(pc.utf8_length(stripped), 18).fill_null(False))
+    safe = pc.if_else(
+        pa.array(big),
+        pa.scalar("0"),
+        pc.if_else(pc.equal(stripped, ""), pa.scalar("0"), stripped),
+    )
+    vals = _np(pc.cast(safe, pa.int64()))
+    return np.where(big, A.QNUM_CAP, vals)
+
+
+# ── batch explosion + ascii routing ──────────────────────────────────────
+
+
+def _explode_batch(batch: pa.RecordBatch):
+    """Packed batch → (doc_ids, vec row-stream dict, fallback doc list).
+
+    Non-ASCII docs go to the row-exact python kernel; everything else
+    becomes one flat row stream: text lines (split on \\n, python-strip,
+    empties dropped) interleaved with image rows, in span order.
+    """
+    doc_ids = batch.column("doc_id")
+    kinds = batch.column("kinds")
+    texts = batch.column("texts")
+    refs = batch.column("refs")
+    pages = batch.column("pages")
+
+    span_parent = _np(pc.list_parent_indices(kinds)).astype(np.int64)
+    kind_f = pc.list_flatten(kinds)
+    text_f = pc.list_flatten(texts)
+    ref_f = pc.list_flatten(refs)
+    ndocs = len(doc_ids)
+
+    is_img_span = _np(pc.equal(kind_f, "image").fill_null(False))
+
+    ok = np.ones(ndocs, dtype=bool)
+    if len(text_f):
+        ascii_span = _np(pc.string_is_ascii(text_f.fill_null("")))
+        np.logical_and.at(ok, span_parent, ascii_span)
+
+    fb_docs = []
+    bad = np.flatnonzero(~ok)
+    if len(bad):
+        k_py = kinds.to_pylist()
+        t_py = texts.to_pylist()
+        r_py = refs.to_pylist()
+        p_py = pages.to_pylist()
+        for d in bad:
+            pg = p_py[d]
+            pg_list = (
+                [1] * len(k_py[d])
+                if pg is None
+                else [1 if p is None else int(p) for p in pg]
+            )
+            fb_docs.append((int(d), k_py[d], t_py[d], r_py[d], pg_list))
+
+    # image spans contribute exactly one row each: blank their text
+    split_src = pc.if_else(pa.array(is_img_span), pa.scalar(""),
+                           text_f.fill_null(""))
+    lines_l = pc.split_pattern(split_src, "\n")
+    line_parent = _np(pc.list_parent_indices(lines_l)).astype(np.int64)
+    line_f = pc.utf8_trim(pc.list_flatten(lines_l),
+                          characters=_STRIP_CHARS)
+
+    row_doc = span_parent[line_parent]
+    row_img = is_img_span[line_parent]
+    nonempty = _np(pc.not_equal(line_f, ""))
+    keep = ok[row_doc] & (row_img | nonempty)
+
+    ki = np.flatnonzero(keep)
+    vec = {
+        "doc": row_doc[ki],
+        "img": row_img[ki],
+        "span": line_parent[ki],
+        "lines": pc.take(line_f, pa.array(ki)),
+        "ref_f": ref_f,
+        "ndocs": ndocs,
+    }
+    return doc_ids, vec, fb_docs
+
+
+# ── classification + segmentation ────────────────────────────────────────
+
+
+def _rem(lines: pa.Array, pattern: str) -> pa.Array:
+    """Anchor remainder: line minus the ^-anchored prefix, py-stripped
+    (at most one match → plain replace-all)."""
+    return pc.utf8_trim(
+        pc.replace_substring_regex(lines, pattern=pattern,
+                                   replacement=""),
+        characters=_STRIP_CHARS,
+    ).fill_null("")
+
+
+def _classify(lines: pa.Array, img: np.ndarray) -> dict:
+    """Full-corpus passes only where every line genuinely needs one;
+    solo/cover/qnum run on the question-anchor subset (the per-class
+    remainders are computed later on even smaller subsets)."""
+    n = len(img)
+    noise = _m(lines, _R_NOISE_CI) | _m(lines, _R_NOISE_CS)
+    qx = pc.extract_regex(lines, pattern=_R_QUESTION)
+    q_hit = _np(qx.is_valid())
+    hot_m = _m(lines, _R_HOTSPOT)
+    ox = pc.extract_regex(lines, pattern=_R_OPTION)
+    okey_m = _np(ox.is_valid())
+    ans_m = _m(lines, _R_ANSWER)
+    exp_m = _m(lines, _R_EXPLANATION)
+
+    txt = ~img
+    noise &= txt
+    q_hit &= txt
+    hot = hot_m & ~noise & ~q_hit & txt
+    okey = okey_m & ~noise & ~q_hit & ~hot_m & txt
+    ans = ans_m & ~noise & ~q_hit & ~hot_m & ~okey_m & txt
+    exp = exp_m & ~noise & ~q_hit & ~hot_m & ~okey_m & ~ans_m & txt
+
+    solo = np.zeros(n, dtype=bool)
+    cover = np.zeros(n, dtype=bool)
+    qi = np.flatnonzero(q_hit)
+    qnum_sub = np.zeros(0, dtype=np.int64)
+    if len(qi):
+        qia = pa.array(qi)
+        lines_q = pc.take(lines, qia)
+        rem_q_sub = _rem(lines_q, _R_QUESTION)
+        solo_sub = (
+            ~_np(pc.match_substring(lines_q, ":").fill_null(False))
+            & _np(pc.equal(rem_q_sub, ""))
+        )
+        solo[qi] = solo_sub
+        cover[qi] = _m(lines_q, _R_COVER)
+        qnum_sub = _qnum_i64(
+            pc.take(pc.struct_field(qx, "q").fill_null("0"), qia))
+    return {
+        "noise": noise, "q": q_hit, "solo": solo, "cover": cover,
+        "hot": hot, "okey": okey, "ans": ans, "exp": exp,
+        "qi": qi, "qnum_sub": qnum_sub,
+        "key": pc.utf8_upper(pc.struct_field(ox, "k").fill_null("")),
+    }
+
+
+def _segment(vec: dict, cl: dict) -> dict | None:
+    """FSM as segmented cumsums (native.py's closed form):
+    valid_q = q & (~cover | a non-cover candidate came before);
+    rows before the first valid anchor are dropped (pre-amble skip);
+    within a question, left_body latches on the first ANSWER or
+    EXPLANATION anchor (state never returns to body/options)."""
+    doc = vec["doc"]
+    img = vec["img"]
+    if len(doc) == 0:
+        return None
+
+    drop = cl["noise"] | (cl["q"] & cl["solo"])  # noise + F10 artifacts
+    q = cl["q"] & ~cl["solo"]
+
+    doc_start = _start_index(_run_starts(doc))
+    cnc = (q & ~cl["cover"]).astype(np.int64)
+    prior_cnc = _run_cumsum(cnc, doc_start, inclusive=False)
+    valid_q = q & (~cl["cover"] | (prior_cnc > 0))
+    started = _run_cumsum(valid_q.astype(np.int64), doc_start,
+                          inclusive=True) > 0
+    keep = started & ~drop & ~(q & ~valid_q)
+
+    ki = np.flatnonzero(keep)
+    if len(ki) == 0:
+        return None
+    anchor_q = valid_q[ki]
+    qid = np.cumsum(anchor_q) - 1  # global 0-based question id
+    qstart = _start_index(anchor_q)  # every question opens with one
+
+    ae = (cl["ans"] | cl["exp"])[ki]
+    prior_ae = _run_cumsum(ae.astype(np.int64), qstart,
+                           inclusive=False) > 0
+    opt_valid = cl["okey"][ki] & ~prior_ae
+    prior_opts = _run_cumsum(opt_valid.astype(np.int64), qstart,
+                             inclusive=False)
+    hot_valid = cl["hot"][ki] & ~prior_ae & (prior_opts == 0)
+    oi = _run_cumsum(opt_valid.astype(np.int64), qstart, inclusive=True)
+
+    m = len(ki)
+    sec_at = np.zeros(m, dtype=np.int8)
+    sec_at[opt_valid] = 1
+    sec_at[cl["ans"][ki]] = 2
+    sec_at[cl["exp"][ki]] = 3
+    sec_at[anchor_q] = 0
+    is_anchor = anchor_q | opt_valid | ae
+    last_anchor = np.maximum.accumulate(
+        np.where(is_anchor, np.arange(m), 0))
+    sec = sec_at[last_anchor]
+
+    qnum_of_q = cl["qnum_sub"][
+        np.searchsorted(cl["qi"], ki[anchor_q])
+    ]
+    return {
+        "ki": ki, "qid": qid, "anchor_q": anchor_q, "img": img[ki],
+        "opt_valid": opt_valid, "hot_valid": hot_valid,
+        "ans": cl["ans"][ki], "exp": cl["exp"][ki], "oi": oi, "sec": sec,
+        "nq": int(qid[-1]) + 1,
+        "doc_of_q": doc[ki][anchor_q],
+        "qnum_of_q": qnum_of_q,
+    }
+
+
+def _fragments(vec: dict, cl: dict, sg: dict) -> pa.Array:
+    """Per kept row: text contribution — anchor remainder for valid
+    anchors, the whole line for content and invalid anchors, empty for
+    hotspot markers and images. Remainders are computed ONLY on each
+    class's row subset; the result assembles with one concat + take."""
+    ki = sg["ki"]
+    m = len(ki)
+    lines_kept = pc.take(vec["lines"], pa.array(ki)).fill_null("")
+
+    pieces = [lines_kept]
+    src_idx = np.arange(m, dtype=np.int64)  # default: the full line
+    base = m
+
+    for mask, pattern in (
+        (sg["anchor_q"], _R_QUESTION),
+        (sg["opt_valid"], _R_OPTION),
+        (sg["ans"], _R_ANSWER),
+        (sg["exp"], _R_EXPLANATION),
+    ):
+        rows = np.flatnonzero(mask)
+        if len(rows):
+            pieces.append(
+                _rem(pc.take(lines_kept, pa.array(rows)), pattern))
+            src_idx[rows] = base + np.arange(len(rows))
+            base += len(rows)
+
+    blank = sg["hot_valid"] | sg["img"]
+    if blank.any():
+        pieces.append(pa.array([""], pa.string()))
+        src_idx[blank] = base
+
+    return pc.take(
+        pa.concat_arrays([_combine(p) for p in pieces]),
+        pa.array(src_idx),
+    )
+
+
+def _joined_groups(qid, sec, oi, pos, frag):
+    """Stable-group text pieces by (qid, sec, oi) in row order; join
+    with single spaces arrow-side. Returns (g_qid, g_sec, g_oi, joined),
+    lexicographically sorted by (qid, sec, oi)."""
+    if len(qid) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int8),
+                np.zeros(0, np.int64), pa.array([], pa.string()))
+    perm = np.lexsort((pos, oi, sec, qid))
+    sq, ss, so = qid[perm], sec[perm], oi[perm]
+    newg = np.ones(len(perm), dtype=bool)
+    if len(perm) > 1:
+        newg[1:] = (sq[1:] != sq[:-1]) | (ss[1:] != ss[:-1]) | (
+            so[1:] != so[:-1])
+    starts = np.flatnonzero(newg)
+    offsets = np.append(starts, len(perm)).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offsets),
+                                   pc.take(frag, pa.array(perm)))
+    return sq[starts], ss[starts], so[starts], pc.binary_join(lst, " ")
+
+
+def _combine(arr):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+def _core(batch: pa.RecordBatch):
+    """Shared front half: explode, classify, segment, fragment, join."""
+    doc_ids, vec, fb_docs = _explode_batch(batch)
+    cl = _classify(vec["lines"], vec["img"])
+    sg = _segment(vec, cl)
+    if sg is None:
+        return doc_ids, None, fb_docs
+    frag = _fragments(vec, cl, sg)
+
+    nonempty = _np(pc.not_equal(frag, ""))
+    tmask = ~sg["img"] & nonempty & ~sg["hot_valid"]
+    ti = np.flatnonzero(tmask)
+    g_qid, g_sec, g_oi, joined = _joined_groups(
+        sg["qid"][ti], sg["sec"][ti],
+        np.where(sg["sec"][ti] == 1, sg["oi"][ti], 0), ti,
+        pc.take(frag, pa.array(ti)),
+    )
+
+    # F9: scrub boilerplate explanations (joined strings are ASCII here)
+    if len(g_qid):
+        em = g_sec == 3
+        if em.any():
+            badg = _m(joined, _R_NOISE_CI) | _m(joined, _R_NOISE_CS)
+            keepg = ~(em & badg)
+            if not keepg.all():
+                g_qid, g_sec, g_oi = (g_qid[keepg], g_sec[keepg],
+                                      g_oi[keepg])
+                joined = pc.take(joined,
+                                 pa.array(np.flatnonzero(keepg)))
+
+    state = {
+        "doc_ids": doc_ids, "vec": vec, "cl": cl, "sg": sg,
+        "g_qid": g_qid, "g_sec": g_sec, "g_oi": g_oi, "joined": joined,
+    }
+    return doc_ids, state, fb_docs
+
+
+def _per_question_text(state, sec_code: int):
+    """length-nq arrow string array: the joined text of one section."""
+    sg = state["sg"]
+    m = state["g_sec"] == sec_code
+    idx = np.full(sg["nq"], -1, dtype=np.int64)
+    idx[state["g_qid"][m]] = np.flatnonzero(m)
+    return pc.take(state["joined"],
+                   pa.array(idx, mask=idx < 0)).fill_null("")
+
+
+def _doc_seq(sg):
+    doc_of_q = sg["doc_of_q"]
+    q_start = _start_index(_run_starts(doc_of_q))
+    return (np.arange(sg["nq"]) - q_start).astype(np.int32)
+
+
+# ── flat emitter (§1.4 contract) ─────────────────────────────────────────
+
+
+def _emit_flat(state) -> pa.RecordBatch:
+    sg = state["sg"]
+    vec = state["vec"]
+    g_qid, g_sec, g_oi = state["g_qid"], state["g_sec"], state["g_oi"]
+    joined = state["joined"]
+    qid, img, sec, oi = sg["qid"], sg["img"], sg["sec"], sg["oi"]
+    nq = sg["nq"]
+
+    # image pieces
+    ii = np.flatnonzero(img)
+    img_qid = qid[ii]
+    img_sec = sec[ii]
+    img_oi = np.where(img_sec == 1, oi[ii], 0)
+    img_refs = pc.take(vec["ref_f"],
+                       pa.array(vec["span"][sg["ki"]][ii])).fill_null("")
+
+    # option rows: one per valid option anchor, in (qid, oi) order
+    ovi = np.flatnonzero(sg["opt_valid"])
+    opt_qid = qid[ovi]
+    opt_oi = oi[ovi]
+    opt_key = pc.take(state["cl"]["key"], pa.array(sg["ki"][ovi]))
+
+    om = g_sec == 1
+    keymul = np.int64(
+        max(int(g_oi.max(initial=0)), int(opt_oi.max(initial=0))) + 2
+    )
+    okeys_sorted = g_qid[om] * keymul + g_oi[om]
+    want = opt_qid * keymul + opt_oi
+    oidx_global = np.flatnonzero(om)
+    if len(okeys_sorted):
+        pos_in = np.searchsorted(okeys_sorted, want)
+        found = (pos_in < len(okeys_sorted)) & (
+            np.take(okeys_sorted, pos_in, mode="clip") == want)
+        lookup = np.where(found,
+                          np.take(oidx_global, pos_in, mode="clip"), -1)
+    else:
+        lookup = np.full(len(want), -1, dtype=np.int64)
+    otext = pc.take(joined,
+                    pa.array(lookup, mask=lookup < 0)).fill_null("")
+    oimg_keys = img_qid[img_sec == 1] * keymul + img_oi[img_sec == 1]
+    opt_has_img = np.isin(want, oimg_keys)
+    ghost = _np(pc.equal(otext, "")) & ~opt_has_img  # F8
+
+    # "K. text" / bare "K."  (last join_element_wise arg = separator)
+    opt_text = pc.if_else(
+        pc.equal(otext, ""),
+        pc.binary_join_element_wise(opt_key, pa.scalar("."), ""),
+        pc.binary_join_element_wise(opt_key, pa.scalar(". "), otext,
+                                    ""),
+    )
+    keepo = np.flatnonzero(~ghost)
+    opt_qid, opt_oi = opt_qid[keepo], opt_oi[keepo]
+    opt_text = pc.take(opt_text, pa.array(keepo))
+
+    # question/answer/explanation text rows
+    tm = g_sec != 1
+    txt_qid, txt_sec = g_qid[tm], g_sec[tm]
+    txt_str = pc.take(joined, pa.array(np.flatnonzero(tm)))
+
+    n_txt, n_opt, n_img = len(txt_qid), len(opt_qid), len(img_qid)
+    a_qid = np.concatenate([txt_qid, opt_qid, img_qid])
+    a_sec = np.concatenate(
+        [txt_sec, np.full(n_opt, 1, np.int8), img_sec])
+    a_oi = np.concatenate(
+        [np.zeros(n_txt, np.int64), opt_oi, img_oi])
+    a_kind = np.concatenate([np.zeros(n_txt + n_opt, np.int8),
+                             np.ones(n_img, np.int8)])
+    a_tie = np.concatenate([np.zeros(n_txt + n_opt, np.int64),
+                            ii.astype(np.int64)])
+    a_text = pa.concat_arrays([
+        _combine(txt_str), _combine(opt_text),
+        pa.array([""] * n_img, pa.string()),
+    ])
+    a_media = pa.concat_arrays([
+        pa.array([""] * (n_txt + n_opt), pa.string()),
+        _combine(img_refs),
+    ])
+
+    perm = np.lexsort((a_tie, a_kind, a_oi, a_sec, a_qid))
+    s_qid = a_qid[perm]
+    order = np.arange(len(perm)) - _start_index(_run_starts(s_qid))
+    seq_of_q = _doc_seq(sg)
+    permarr = pa.array(perm)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(state["doc_ids"], pa.array(sg["doc_of_q"][s_qid])),
+            pa.array(seq_of_q[s_qid]),
+            pa.array(sg["qnum_of_q"][s_qid]),
+            pc.take(_SECTIONS, pa.array(a_sec[perm].astype(np.int32))),
+            pc.take(_KINDS, pa.array(a_kind[perm].astype(np.int32))),
+            pc.take(a_text, permarr),
+            pc.take(a_media, permarr),
+            pa.array(order.astype(np.int32)),
+        ],
+        schema=FLAT_ARROW_SCHEMA,
+    )
+
+
+# ── question-scalars emitter (flagship query projection) ────────────────
+
+
+def _emit_question_scalars(state) -> pa.RecordBatch:
+    """Per-question scalar columns (doc_id, seq, question_number,
+    question_type, question_text, answer_text, anomaly_score) — the
+    flagship query's projection, straight from the vector state
+    (anomaly rules: finalize.py / dkernel._finalize_row)."""
+    sg = state["sg"]
+    nq = sg["nq"]
+    qtext = _per_question_text(state, 0)
+    anstext = _per_question_text(state, 2)
+
+    hot = np.zeros(nq, dtype=bool)
+    np.logical_or.at(hot, sg["qid"][sg["hot_valid"]], True)
+
+    qimg = np.zeros(nq, dtype=np.int64)
+    qi = sg["img"] & (sg["sec"] == 0)
+    np.add.at(qimg, sg["qid"][qi], 1)
+
+    has_q = _np(pc.not_equal(qtext, ""))
+    has_a = _np(pc.not_equal(anstext, ""))
+    score = (
+        80 * (~has_q)
+        + 60 * (~hot & ~has_a)
+        + 30 * (~has_q & (qimg > 0))
+    )
+    score = np.minimum(score, 100).astype(np.int32)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(state["doc_ids"], pa.array(sg["doc_of_q"])),
+            pa.array(_doc_seq(sg)),
+            pa.array(sg["qnum_of_q"]),
+            pc.if_else(pa.array(hot), pa.scalar("hotspot"),
+                       pa.scalar("mcq")),
+            _combine(qtext),
+            _combine(anstext),
+            pa.array(score),
+        ],
+        schema=QUESTION_SCALARS_ARROW_SCHEMA,
+    )
+
+
+# ── mapInArrow entrypoints ───────────────────────────────────────────────
+
+
+def _fallback_flat(doc_ids, fb_docs) -> pa.RecordBatch | None:
+    from . import dkernel
+
+    rows: list[tuple] = []
+    ids_py = doc_ids.to_pylist()
+    for d, k, t, r, p in fb_docs:
+        rows.extend(dkernel._flatten_rows(
+            dkernel._parse_doc(ids_py[d], k, t, r, p)))
+    if not rows:
+        return None
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(list(cols[i]), FLAT_ARROW_SCHEMA.field(i).type)
+         for i in range(len(cols))],
+        schema=FLAT_ARROW_SCHEMA,
+    )
+
+
+def _fallback_scalars(doc_ids, fb_docs) -> pa.RecordBatch | None:
+    from . import dkernel
+
+    rows: list[tuple] = []
+    ids_py = doc_ids.to_pylist()
+    for d, k, t, r, p in fb_docs:
+        for raw in dkernel._parse_doc(ids_py[d], k, t, r, p):
+            fin = dkernel._finalize_row(raw)
+            if fin is not None:
+                rows.append((fin[0], fin[1], fin[2], fin[3], fin[4],
+                             fin[7], fin[14]))
+    if not rows:
+        return None
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(list(cols[i]),
+                  QUESTION_SCALARS_ARROW_SCHEMA.field(i).type)
+         for i in range(len(cols))],
+        schema=QUESTION_SCALARS_ARROW_SCHEMA,
+    )
+
+
+def _entry(batches, emit, fallback, schema_):
+    yielded = False
+    for batch in batches:
+        doc_ids, state, fb_docs = _core(batch)
+        if state is not None:
+            out = emit(state)
+            if len(out):
+                yielded = True
+                yield out
+        if fb_docs:
+            fb = fallback(doc_ids, fb_docs)
+            if fb is not None and len(fb):
+                yielded = True
+                yield fb
+    if not yielded:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([], f.type) for f in schema_],
+            schema=schema_,
+        )
+
+
+def parse_docs_flat_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entrypoint: packed documents → canonical flat spans
+    (schema.FLAT_SPAN_SEQ), strings Arrow-resident end to end."""
+    yield from _entry(batches, _emit_flat, _fallback_flat,
+                      FLAT_ARROW_SCHEMA)
+
+
+def question_scalars_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entrypoint: packed documents → per-question scalar
+    columns (the flagship extract_questions projection)."""
+    yield from _entry(batches, _emit_question_scalars, _fallback_scalars,
+                      QUESTION_SCALARS_ARROW_SCHEMA)

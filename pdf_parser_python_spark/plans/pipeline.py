@@ -187,11 +187,35 @@ def extract_flat_spans(documents: DataFrame, **kw) -> DataFrame:
     the fused path is row-equal by test. Other engines keep
     parse → finalize → flatten (the reference decomposition).
     """
-    if kw.get("engine", "packed") == "packed" and not kw.get(
+    engine = kw.get("engine", "packed")
+    if engine in ("packed", "packed-pandas") and not kw.get(
         "shuffle_partitions"
     ):
         proj = dkernel.packed_projection(documents)
+        if engine == "packed":
+            # vectorized kernel (operators/vkernel.py): RE2 classify +
+            # numpy segmented cumsums + arrow-side joins — strings never
+            # become Python objects (~2.7x the pandas fused kernel)
+            from ..operators import vkernel
+
+            return proj.mapInArrow(
+                vkernel.parse_docs_flat_arrow, schema=schema.FLAT_SPAN_SEQ
+            )
         return proj.mapInPandas(
             dkernel.parse_docs_flat, schema=schema.FLAT_SPAN_SEQ
         )
     return _flatten.flat_spans(extract_questions(documents, **kw))
+
+
+def extract_question_scalars(documents: DataFrame) -> DataFrame:
+    """documents → per-question scalar columns (doc_id, seq,
+    question_number, question_type, question_text, answer_text,
+    anomaly_score) via the vectorized kernel — the flagship query's
+    projection without materializing nested options/images/anomalies.
+    For the full QUESTION_FINAL entity table use extract_questions."""
+    from ..operators import vkernel
+
+    proj = dkernel.packed_projection(documents)
+    return proj.mapInArrow(
+        vkernel.question_scalars_arrow, schema=schema.QUESTION_SCALARS
+    )

@@ -159,6 +159,21 @@ FLAT_SPAN_SEQ = T.StructType(
     ]
 )
 
+#: Scalar projection of QUESTION_FINAL (the flagship-query columns) —
+#: output of the vectorized kernel's question_scalars_arrow
+#: (operators/vkernel.py), which skips nested options/images/anomalies.
+QUESTION_SCALARS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("seq", T.IntegerType(), False),
+        T.StructField("question_number", T.LongType(), False),
+        T.StructField("question_type", T.StringType(), False),
+        T.StructField("question_text", T.StringType(), False),
+        T.StructField("answer_text", T.StringType(), False),
+        T.StructField("anomaly_score", T.IntegerType(), False),
+    ]
+)
+
 #: Per-document ValidationReport (reference validator.py:39-158) — the
 #: output of operators/validate.validation_report AND of the fused
 #: packed kernel's validate_docs (dkernel), which computes it in the

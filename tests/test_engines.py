@@ -30,6 +30,35 @@ def test_engines_agree(spark):
     assert packed == partition == grouped == native
     assert len(packed) > 200
 
+    # the vectorized arrow kernel (default extract_flat_spans path) and
+    # the fused pandas kernel must emit identical flat spans
+    vec = sorted(
+        (r.doc_id, r.seq, r.order, r.question_number, r.section, r.kind,
+         r.text, r.media_ref)
+        for r in pipeline.extract_flat_spans(docs).collect()
+    )
+    pand = sorted(
+        (r.doc_id, r.seq, r.order, r.question_number, r.section, r.kind,
+         r.text, r.media_ref)
+        for r in pipeline.extract_flat_spans(
+            docs, engine="packed-pandas").collect()
+    )
+    assert vec == pand
+
+    # question scalars (vectorized) vs the full finalize pipeline
+    scal = sorted(
+        tuple(r)
+        for r in pipeline.extract_question_scalars(docs).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in pipeline.extract_questions(docs, engine="grouped").select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "anomaly_score",
+        ).collect()
+    )
+    assert scal == full
+
 
 def test_zero_padded_and_overflow_qnum_clamp(spark):
     """ADVICE r2 (medium): clamp question numbers on the numeric VALUE

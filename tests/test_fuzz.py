@@ -155,6 +155,41 @@ def test_fuzz_fused_flat_kernel_matches_reference(items):
     assert got == expected
 
 
+def _vkernel_batch(spans):
+    import pyarrow as pa
+
+    spans = sorted(spans, key=lambda s: s["offset"])
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(["f"], pa.string()),
+            pa.array([[s["kind"] for s in spans]], pa.list_(pa.string())),
+            pa.array([[s["text"] for s in spans]], pa.list_(pa.string())),
+            pa.array([[s["media_ref"] for s in spans]],
+                     pa.list_(pa.string())),
+            pa.array([[s.get("page") or 1 for s in spans]],
+                     pa.list_(pa.int32())),
+        ],
+        names=["doc_id", "kinds", "texts", "refs", "pages"],
+    )
+
+
+@given(st.lists(SPAN, min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_vectorized_kernel_matches_reference(items):
+    """The arrow/RE2/numpy kernel (operators/vkernel.py — the default
+    extract_flat_spans path) against the live reference FSM."""
+    from pdf_parser_python_spark.operators import vkernel
+
+    spans = _spans(items)
+    expected = flatten_doc(run_reference(spans))
+    rows = []
+    for b in vkernel.parse_docs_flat_arrow(iter([_vkernel_batch(spans)])):
+        rows.extend(zip(*[c.to_pylist() for c in b.columns]))
+    rows.sort(key=lambda r: (r[1], r[7]))  # (seq, order) = emission order
+    got = [(r[2], r[3], r[4], r[5], r[6], r[7]) for r in rows]
+    assert got == expected
+
+
 @given(st.lists(SPAN, min_size=1, max_size=25))
 @settings(max_examples=200, deadline=None)
 def test_fuzz_fused_finalize_matches_reference(items):

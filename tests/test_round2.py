@@ -99,7 +99,7 @@ def test_media_features_driver_row_hashable(spark):
     pdf = df.toPandas()
     # the driver canonicalizer sorts row values: everything must hash
     pdf.sort_values(list(sorted(pdf.columns)))
-    assert pdf["features_json"].str.startswith("[").all()
+    assert pdf["feature_grid"].str.match(r"-?\d+(,-?\d+)*$").all()
 
 
 def test_fused_finalize_equals_native_finalize(spark):
