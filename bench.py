@@ -177,6 +177,19 @@ def main() -> None:
                 if cores > 1 else str(start + off)]
 
     samples: dict[int, list[float]] = {n_small: [], n_big: []}
+    if rounds == 0:  # BENCH_SCALE_ROUNDS=0: phase-1-only iteration mode
+        out = {
+            "metric": "headline_queries_wall_sec",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec", "queries": times, "sf": SF,
+            "extraction": {
+                "corpus_docs": n_docs, "corpus_spans": int(n_spans),
+                f"docs_per_sec_local[{CPUS}]": round(n_docs / t_full, 1),
+                f"spans_per_sec_local[{CPUS}]": round(n_spans / t_full, 1),
+            },
+        }
+        print(json.dumps(out))
+        return
     for rnd in range(rounds):
         for cores in (n_small, n_big):
             r = subprocess.run(

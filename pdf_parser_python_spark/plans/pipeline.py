@@ -35,6 +35,94 @@ from ..operators import dkernel
 from ..operators.kernel import segment_kernel
 from ..operators.pkernel import parse_partition
 
+#: Giant-document dispatch threshold (spans per doc). The packed engines
+#: carry one document per Arrow row, so a pathological 10^7-span doc is
+#: one task — a stage-long straggler. Docs above this route to the
+#: chunked native engine (intra-doc parallel two-phase scan,
+#: operators/native.py) and union back in. ~1000× the P99 of real exam
+#: dumps; a doc under it parses in well under a second per core.
+GIANT_DOC_SPANS = 250_000
+
+#: offset-chunk width for rerouted giant docs (tasks/doc ≈ n_spans/this)
+GIANT_CHUNK = 25_000
+
+
+def _doc_size(documents: DataFrame):
+    """Per-doc span count: prefers a scalar ``n_spans`` column when the
+    table carries one — at 100 TB materialize it at ingest so parquet
+    row-group min/max stats prune the giant-branch scan to ~zero I/O."""
+    return (
+        F.col("n_spans")
+        if "n_spans" in documents.columns
+        else F.size("spans")
+    )
+
+
+def _giant_split(
+    documents: DataFrame, threshold: int
+) -> tuple[DataFrame, DataFrame]:
+    """(small, big) split by per-doc span count. The big branch rescans
+    the input (cheap under n_spans/stats; a size(spans) pass otherwise)
+    — the price of never letting one degenerate document serialize a
+    1000-executor stage."""
+    sz = _doc_size(documents)
+    return (
+        documents.where(sz <= F.lit(threshold)),
+        documents.where(sz > F.lit(threshold)),
+    )
+
+
+#: probe memo: (session id, analyzed-plan semanticHash, threshold) →
+#: bool. A heuristic cache — a false stale entry can only cost perf
+#: (straggler or an empty union branch), never correctness.
+_GIANT_PROBE_CACHE: dict[tuple, bool] = {}
+
+
+def _resolve_threshold(documents: DataFrame, kw: dict) -> int | None:
+    """Giant-doc dispatch policy for the packed engines.
+
+    ``giant_doc_spans`` kw: ``"auto"`` (default) probes the corpus with
+    one tiny driver job — `any doc > GIANT_DOC_SPANS spans?` — and only
+    builds the union plan when outliers exist, because the chunked
+    branch carries seconds of fixed plan/stage overhead that the common
+    giant-free case must not pay. An explicit int forces the static
+    union (deterministic plan, no probe job); None disables dispatch.
+    Streaming inputs skip the probe (no eager jobs on a stream).
+    """
+    threshold = kw.get("giant_doc_spans", "auto")
+    if threshold != "auto":
+        return threshold
+    if documents.isStreaming:
+        return None
+    try:
+        key = (
+            documents.sparkSession.sparkContext.applicationId,
+            documents._jdf.queryExecution().analyzed().semanticHash(),
+            GIANT_DOC_SPANS,
+        )
+    except Exception:  # non-JVM edge: probe without memo
+        key = None
+    if key is not None and key in _GIANT_PROBE_CACHE:
+        has_giant = _GIANT_PROBE_CACHE[key]
+    else:
+        has_giant = not documents.where(
+            _doc_size(documents) > F.lit(GIANT_DOC_SPANS)
+        ).isEmpty()
+        if key is not None:
+            _GIANT_PROBE_CACHE[key] = has_giant
+    return GIANT_DOC_SPANS if has_giant else None
+
+
+def _parse_giant_final(big: DataFrame) -> DataFrame:
+    """Giant-doc branch: tokenize → chunked native FSM → finalize.
+    Every exchange keys on (doc_id, _chunk)/(doc_id, _seg), so one
+    document spreads over ~n_spans/GIANT_CHUNK tasks."""
+    from ..operators.native import parse_native
+
+    return _finalize.finalize_questions(
+        parse_native(tokenize(big), chunk_size=GIANT_CHUNK)
+    )
+
 
 def tokenize(documents: DataFrame) -> DataFrame:
     """documents(doc_id, spans[]) → LINE-schema rows (native only).
@@ -142,14 +230,26 @@ def extract_questions(documents: DataFrame, **kw) -> DataFrame:
 
     Packed default = fused kernel (parse + finalize in one pass, see
     extract_flat_spans note); other engines keep parse → native
-    finalize, and tests assert row equality between the two."""
+    finalize, and tests assert row equality between the two. Documents
+    above ``giant_doc_spans`` (default GIANT_DOC_SPANS; None disables)
+    auto-route to the chunked native engine — no single-task straggler
+    on skewed corpora."""
     if kw.get("engine", "packed") == "packed" and not kw.get(
         "shuffle_partitions"
     ):
-        proj = dkernel.packed_projection(documents)
-        return proj.mapInPandas(
+        threshold = _resolve_threshold(documents, kw)
+        small, big = (
+            (documents, None)
+            if threshold is None
+            else _giant_split(documents, threshold)
+        )
+        proj = dkernel.packed_projection(small)
+        out = proj.mapInPandas(
             dkernel.parse_docs_final, schema=schema.QUESTION_FINAL
         )
+        if big is not None:
+            out = out.unionByName(_parse_giant_final(big))
+        return out
     return _finalize.finalize_questions(parse_raw(documents, **kw))
 
 
@@ -167,11 +267,21 @@ def extract_validation(documents: DataFrame, **kw) -> DataFrame:
         "shuffle_partitions"
     ):
         from ..operators import dkernel as _dk
+        from ..operators.validate import validation_report as _vrep
 
-        proj = dkernel.packed_projection(documents)
-        return proj.mapInPandas(
+        threshold = _resolve_threshold(documents, kw)
+        small, big = (
+            (documents, None)
+            if threshold is None
+            else _giant_split(documents, threshold)
+        )
+        proj = dkernel.packed_projection(small)
+        out = proj.mapInPandas(
             _dk.validate_docs, schema=schema.VALIDATION_REPORT
         )
+        if big is not None:
+            out = out.unionByName(_vrep(_parse_giant_final(big)))
+        return out
     from ..operators.validate import validation_report
 
     return validation_report(extract_questions(documents, **kw))
@@ -191,23 +301,37 @@ def extract_flat_spans(documents: DataFrame, **kw) -> DataFrame:
     if engine in ("packed", "packed-pandas") and not kw.get(
         "shuffle_partitions"
     ):
-        proj = dkernel.packed_projection(documents)
+        threshold = _resolve_threshold(documents, kw)
+        small, big = (
+            (documents, None)
+            if threshold is None
+            else _giant_split(documents, threshold)
+        )
+        proj = dkernel.packed_projection(small)
         if engine == "packed":
             # vectorized kernel (operators/vkernel.py): RE2 classify +
             # numpy segmented cumsums + arrow-side joins — strings never
             # become Python objects (~2.7x the pandas fused kernel)
             from ..operators import vkernel
 
-            return proj.mapInArrow(
+            out = proj.mapInArrow(
                 vkernel.parse_docs_flat_arrow, schema=schema.FLAT_SPAN_SEQ
             )
-        return proj.mapInPandas(
-            dkernel.parse_docs_flat, schema=schema.FLAT_SPAN_SEQ
-        )
+        else:
+            out = proj.mapInPandas(
+                dkernel.parse_docs_flat, schema=schema.FLAT_SPAN_SEQ
+            )
+        if big is not None:
+            out = out.unionByName(
+                _flatten.flat_spans(_parse_giant_final(big))
+            )
+        return out
     return _flatten.flat_spans(extract_questions(documents, **kw))
 
 
-def extract_question_scalars(documents: DataFrame) -> DataFrame:
+def extract_question_scalars(
+    documents: DataFrame, giant_doc_spans="auto"
+) -> DataFrame:
     """documents → per-question scalar columns (doc_id, seq,
     question_number, question_type, question_text, answer_text,
     anomaly_score) via the vectorized kernel — the flagship query's
@@ -215,7 +339,23 @@ def extract_question_scalars(documents: DataFrame) -> DataFrame:
     For the full QUESTION_FINAL entity table use extract_questions."""
     from ..operators import vkernel
 
-    proj = dkernel.packed_projection(documents)
-    return proj.mapInArrow(
+    threshold = _resolve_threshold(
+        documents, {"giant_doc_spans": giant_doc_spans}
+    )
+    small, big = (
+        (documents, None)
+        if threshold is None
+        else _giant_split(documents, threshold)
+    )
+    proj = dkernel.packed_projection(small)
+    out = proj.mapInArrow(
         vkernel.question_scalars_arrow, schema=schema.QUESTION_SCALARS
     )
+    if big is not None:
+        out = out.unionByName(
+            _parse_giant_final(big).select(
+                "doc_id", "seq", "question_number", "question_type",
+                "question_text", "answer_text", "anomaly_score",
+            )
+        )
+    return out

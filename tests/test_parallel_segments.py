@@ -114,6 +114,80 @@ def test_giant_single_doc_parses_in_parallel(spark):
     assert mid.answer_text == "A"
 
 
+def test_auto_giant_dispatch_span_equal_on_mixed_corpus(spark):
+    """DEFAULT extract_flat_spans / extract_questions on a corpus mixing
+    normal docs with one doc above the giant threshold must route the
+    outlier to the chunked engine (no single-task straggler) and emit
+    spans identical to the dispatch-disabled packed path."""
+    normal = [
+        (f"mix-{i}", generate_doc_spans(9400 + i, mean_questions=6))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(normal, schema=schema.DOCUMENT_SPANS_EXT)
+    # giant doc: build packed row from the line generator (threshold
+    # overridden to 300 spans so the probe stays test-sized)
+    giant = (
+        _giant_lines(spark, 200, parts=4)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("kind", "text", "media_ref", "offset", "page")
+                )
+            ).alias("spans")
+        )
+    )
+    mixed = docs.unionByName(giant)
+
+    def canon(df):
+        return sorted(
+            (r.doc_id, r.seq, r.order, r.question_number, r.section,
+             r.kind, r.text, r.media_ref)
+            for r in df.collect()
+        )
+
+    got = canon(pipeline.extract_flat_spans(mixed, giant_doc_spans=300))
+    ref = canon(pipeline.extract_flat_spans(mixed, giant_doc_spans=None))
+    assert got == ref and len(got) > 800
+
+    qgot = sorted(
+        map(tuple, pipeline.extract_questions(
+            mixed, giant_doc_spans=300
+        ).select("doc_id", "seq", "question_number", "question_text",
+                 "answer_text", "anomaly_score").collect())
+    )
+    qref = sorted(
+        map(tuple, pipeline.extract_questions(
+            mixed, giant_doc_spans=None
+        ).select("doc_id", "seq", "question_number", "question_text",
+                 "answer_text", "anomaly_score").collect())
+    )
+    assert qgot == qref
+
+    # the giant doc's branch really is the chunked engine: its rows key
+    # on (doc_id, _chunk) in the physical plan
+    p = (
+        pipeline.extract_flat_spans(mixed, giant_doc_spans=300)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_chunk" in p
+
+    # AUTO mode: the probe must detect the outlier and build the same
+    # dispatched plan without an explicit threshold
+    old = pipeline.GIANT_DOC_SPANS
+    pipeline.GIANT_DOC_SPANS = 300
+    try:
+        auto = canon(pipeline.extract_flat_spans(mixed))
+        p_auto = (
+            pipeline.extract_flat_spans(mixed)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        pipeline.GIANT_DOC_SPANS = old
+    assert auto == ref
+    assert "_chunk" in p_auto and "Union" in p_auto
+
+
 def test_chunk_boundary_mid_question_sections_survive(spark):
     """A chunk cut between an option line and its images/answer must not
     reset section state (the (doc, seg) grouping carries it)."""

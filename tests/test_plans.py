@@ -23,10 +23,30 @@ def _docs(spark):
 
 
 def test_packed_engine_zero_shuffle(spark):
-    p = _plan(pipeline.extract_questions(_docs(spark)))
+    # dispatch disabled: the packed small-doc path itself must stay
+    # scan → mapInPandas with no exchange
+    p = _plan(pipeline.extract_questions(_docs(spark),
+                                         giant_doc_spans=None))
     assert p.count("Exchange") == 0
     assert p.count("MapInPandas") == 1
     assert "FlatMapGroupsInPandas" not in p
+
+
+def test_default_dispatch_probe_and_forced_union(spark):
+    """Default (auto) dispatch: a giant-free corpus gets the pure
+    packed plan (probe says no outliers → no union overhead); a forced
+    threshold builds the union with a chunk-keyed native branch."""
+    d = _docs(spark)
+    p_auto = _plan(pipeline.extract_flat_spans(d))
+    assert "MapInArrow" in p_auto and "Union" not in p_auto
+    assert p_auto.count("Exchange") == 0
+
+    p = _plan(pipeline.extract_flat_spans(d, giant_doc_spans=10))
+    assert "MapInArrow" in p and "Union" in p
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("_chunk" in x for x in parts), parts
 
 
 def test_partition_engine_single_shuffle_filters_below_barrier(spark):
@@ -38,7 +58,8 @@ def test_partition_engine_single_shuffle_filters_below_barrier(spark):
 
 
 def test_validation_single_shuffle(spark):
-    p = _plan(validation_report(pipeline.extract_questions(_docs(spark))))
+    p = _plan(validation_report(pipeline.extract_questions(
+        _docs(spark), giant_doc_spans=None)))
     assert p.count("Exchange") == 1
 
 
