@@ -130,6 +130,16 @@ J_PY_STRIP_CLASS = (
     "\\u2028\\u2029\\u202F\\u205F\\u3000]"
 )
 
+#: The same set as literal characters: exactly the chars Python's
+#: ``str.strip()`` / ``str.isspace()`` / ``re`` ``\s`` (unicode mode)
+#: treat as whitespace. Single source for the Arrow kernel's trim set
+#: and its RE2 ``\s`` rewrite (operators/vkernel.py).
+PY_WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
+)
+
 #: Clamp for parsed question numbers: the reference's Python int is
 #: unbounded, but Arrow/Catalyst carry int64. Any anchor number with
 #: more than 18 digits is clamped to this value by EVERY engine (so the

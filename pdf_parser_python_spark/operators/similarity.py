@@ -238,13 +238,14 @@ def ivf_topk(
     )
     probe = ranked[:n_probe]
 
-    qdf = embeddings.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("qvec")
-    )
+    # the query vector is already on the driver (cell ranking above) —
+    # embed it as a literal instead of re-scanning + broadcast-joining
+    # it, saving one job (cosine casts both sides to double anyway)
+    q_lit = F.array(*[F.lit(x) for x in qv])
     cand = assigned.where(
         F.col("cell").isin(probe) & (F.col("vec_id") != query_vec_id)
-    ).crossJoin(F.broadcast(qdf))
+    )
     scored = cand.select(
-        "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("score")
+        "vec_id", cosine(F.col("vec"), q_lit).alias("score")
     )
     return _topk(scored, k)

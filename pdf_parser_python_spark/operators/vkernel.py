@@ -20,13 +20,19 @@ end:
 4. assemble output strings with stable lexsort + ``binary_join`` —
    fragments never become Python objects.
 
-Dialect safety: RE2's ``\\s``/``\\b`` are ASCII-only while Python's
-are Unicode-aware, so ``\\s`` is rewritten to the explicit ASCII class
-Python would match (``[\\t-\\r\\x1c-\\x1f ]``) and any document
-containing a non-ASCII character is routed to the row-exact Python
-kernel (:mod:`.dkernel`) instead — bit-equality with the reference FSM
-is never traded for speed. Tests assert all engines agree and the fuzz
-suite ties this path to the live reference.
+Dialect safety: RE2's ``\\s``/``\\d``/``\\b`` are ASCII-only while
+Python's are Unicode-aware. ``\\s``/``\\S`` are rewritten to the exact
+29-char class Python treats as whitespace (anchors.PY_WS_CHARS — NBSP,
+NEL, Zs spaces and all; verified char-for-char over all of Unicode in
+tests), so ordinary non-ASCII text — including the unicode-whitespace
+torture real PDFs carry — stays on the vectorized path. Only documents
+containing a character that genuinely diverges between the dialects
+fall back to the row-exact Python kernel (:mod:`.dkernel`):
+non-ASCII decimal digits (Python ``\\d``/int() accept them), İ/ı
+(Python case-folds them into ASCII i/I, RE2 does not), or a ``\\b``
+noise-anchor word followed by a non-ASCII word char. Bit-equality with
+the reference FSM is never traded for speed; tests assert all engines
+agree and the fuzz suite ties this path to the live reference.
 
 Reference semantics: /root/reference/parser/state_machine.py:133-366
 (segmentation), crud.py:633-726 (flatten contract).
@@ -43,10 +49,21 @@ import pyarrow.compute as pc
 from ..functions import anchors as A
 
 # ── RE2 forms of the shared grammar ──────────────────────────────────────
-# Python \s on ASCII text = [\t\n\x0b\x0c\r \x1c-\x1f]; RE2's \s misses
-# \x0b and \x1c-\x1f. Non-ASCII input never reaches these patterns
-# (ascii routing below), so the explicit ASCII class is exact.
-_WS_IN = "\\t-\\r\\x1c-\\x1f "  # class innards
+# Python \s (unicode) as explicit RE2 class innards: the exact 29-char
+# set from anchors.PY_WS_CHARS (equality with re \s and str.isspace()
+# over all of Unicode is asserted by tests/test_engines.py).
+_WS_IN = "".join(f"\\x{{{ord(c):x}}}" for c in A.PY_WS_CHARS)
+
+#: chars/contexts where Python `re` and RE2 genuinely diverge — any
+#: span matching this routes its document to the Python kernel:
+#: İ/ı case-fold into ASCII only in Python; a \b-guarded noise word
+#: followed by a non-ASCII word char breaks only RE2's ASCII \b.
+#: (Non-ASCII digits are detected separately via \p{Nd} counts.)
+_R_RISKY = (
+    "[İı]"
+    "|(?i:choosing|your|materials|at|questions|certified|free)"
+    "[^\\x00-\\x7f]"
+)
 
 
 def _re2(pattern: str, ci: bool) -> str:
@@ -73,8 +90,9 @@ _R_NOISE_CI = _re2(A.NOISE_CI, True)
 _R_NOISE_CS = _re2(A.NOISE_CS, False)
 _R_COVER = _re2(A.COVER_NOISE, False)
 
-#: Python str.strip() whitespace, ASCII subset (utf8_trim char set)
-_STRIP_CHARS = "\t\n\x0b\x0c\r \x1c\x1d\x1e\x1f"
+#: Python str.strip() whitespace — the full unicode set (utf8_trim
+#: is codepoint-aware, so the trim matches str.strip() exactly)
+_STRIP_CHARS = A.PY_WS_CHARS
 
 _SECTIONS = pa.array(["question", "options", "answer", "explanation"])
 _KINDS = pa.array(["text", "image"])
@@ -156,9 +174,10 @@ def _qnum_i64(qs: pa.Array) -> np.ndarray:
 def _explode_batch(batch: pa.RecordBatch):
     """Packed batch → (doc_ids, vec row-stream dict, fallback doc list).
 
-    Non-ASCII docs go to the row-exact python kernel; everything else
-    becomes one flat row stream: text lines (split on \\n, python-strip,
-    empties dropped) interleaved with image rows, in span order.
+    Docs containing dialect-divergent chars (module docstring) go to
+    the row-exact python kernel; everything else becomes one flat row
+    stream: text lines (split on \\n, python-strip, empties dropped)
+    interleaved with image rows, in span order.
     """
     doc_ids = batch.column("doc_id")
     kinds = batch.column("kinds")
@@ -176,8 +195,16 @@ def _explode_batch(batch: pa.RecordBatch):
 
     ok = np.ones(ndocs, dtype=bool)
     if len(text_f):
-        ascii_span = _np(pc.string_is_ascii(text_f.fill_null("")))
-        np.logical_and.at(ok, span_parent, ascii_span)
+        tf = text_f.fill_null("")
+        na = np.flatnonzero(~_np(pc.string_is_ascii(tf)))
+        if len(na):
+            # risky checks only on the non-ASCII span subset
+            sub = pc.take(tf, pa.array(na))
+            risky = _m(sub, _R_RISKY) | (
+                _np(pc.count_substring_regex(sub, pattern="[\\p{Nd}]"))
+                > _np(pc.count_substring_regex(sub, pattern="[0-9]"))
+            )
+            ok[np.unique(span_parent[na[risky]])] = False
 
     fb_docs = []
     bad = np.flatnonzero(~ok)

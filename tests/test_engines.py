@@ -60,6 +60,68 @@ def test_engines_agree(spark):
     assert scal == full
 
 
+def test_py_ws_chars_equals_python_whitespace_everywhere():
+    """anchors.PY_WS_CHARS (the RE2 \\s rewrite + arrow trim set) must
+    equal Python's re-\\s / str.strip() set char-for-char over ALL of
+    Unicode — the invariant the vectorized kernel's dialect safety
+    rests on."""
+    import re
+
+    from pdf_parser_python_spark.functions.anchors import PY_WS_CHARS
+
+    ws = set(PY_WS_CHARS)
+    for c in range(0x110000):
+        ch = chr(c)
+        assert (ch in ws) == bool(re.match(r"\s", ch)), hex(c)
+        assert (ch in ws) == ch.isspace(), hex(c)
+
+
+def test_nonascii_stays_on_vectorized_path(spark):
+    """NBSP/Zs whitespace and plain accented content must NOT trigger
+    the python fallback; genuinely divergent chars must."""
+    import pyarrow as pa
+
+    from pdf_parser_python_spark.operators import vkernel
+
+    def batch(text):
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(["d"]),
+                pa.array([["text"]], pa.list_(pa.string())),
+                pa.array([[text]], pa.list_(pa.string())),
+                pa.array([[""]], pa.list_(pa.string())),
+                pa.array([[1]], pa.list_(pa.int32())),
+            ],
+            names=["doc_id", "kinds", "texts", "refs", "pages"],
+        )
+
+    def falls_back(text):
+        _, _, fb = vkernel._explode_batch(batch(text))
+        return bool(fb)
+
+    assert not falls_back("\xa0Question:\xa05\xa0\ncafé body")
+    assert not falls_back("body with Zs　spaces")
+    assert falls_back("Question: ٣")          # non-ASCII digit
+    assert falls_back("questİon: 5")          # İ folds to i only in re
+    assert falls_back("Thank you for yourété")  # \b divergence
+
+    # NBSP-wrapped anchor parses identically through the arrow path
+    docs = spark.createDataFrame(
+        [("nb", [
+            {"kind": "text", "text": "\xa0Question:\xa07\xa0\nbody é",
+             "media_ref": None, "offset": 0, "page": 1},
+            {"kind": "text", "text": "Answer:\xa0B", "media_ref": None,
+             "offset": 1, "page": 1},
+        ])],
+        schema=schema.DOCUMENT_SPANS_EXT,
+    )
+    rows = sorted(
+        (r.question_number, r.section, r.text)
+        for r in pipeline.extract_flat_spans(docs).collect()
+    )
+    assert rows == [(7, "answer", "B"), (7, "question", "body é")], rows
+
+
 def test_zero_padded_and_overflow_qnum_clamp(spark):
     """ADVICE r2 (medium): clamp question numbers on the numeric VALUE
     everywhere — '0…05' is 5 (the reference's plain int(),

@@ -25,6 +25,14 @@ WORDS = st.sampled_from([
     # the int64 clamp — '0...042' must parse as 42 in every engine
     "Question: 0005", "Question: 0000000000000000000000042",
     "Question 007:", "Question: 000",
+    # unicode dialect torture: NBSP/Zs whitespace rides the vectorized
+    # arrow path (PY_WS_CHARS rewrite); non-ASCII digits, İ/ı folds and
+    # \b-adjacent non-ASCII words must route their doc to the python
+    # kernel — all verified against the live reference either way
+    "\xa0Question:\xa05\xa0", "Answer: B", "café body",
+    "Question: ٣", "questİon: 5", "optıon text",
+    "Thank you for yourété", "  ", " ",
+    "Topic\xa07, after", "body\x85tail",
 ])
 
 LINE = st.builds(
