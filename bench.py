@@ -205,11 +205,24 @@ def main() -> None:
     best = {c: min(ts) for c, ts in samples.items()}
     thr = {c: SCALE_DOCS / t for c, t in best.items()}
     eff = (best[n_small] / best[n_big]) / (n_big / n_small)
-    # secondary diagnostic: median over all cross-pairings
+    # secondary diagnostic: median over all cross-pairings (co-tenant
+    # bursts drag it — recorded for honesty, not as the estimate)
     eff_median = statistics.median(
         (ts / tb) / (n_big / n_small)
         for ts in samples[n_small]
         for tb in samples[n_big]
+    )
+    # robust middle ground: drop the noise-inflated upper half of each
+    # level's samples (noise is strictly additive on this host), then
+    # median the cross-pair ratios of what remains. Converges to the
+    # quiet-window ratio while still averaging over several samples.
+    trimmed = {
+        c: sorted(ts)[: max(1, len(ts) // 2)] for c, ts in samples.items()
+    }
+    eff_trimmed = statistics.median(
+        (ts / tb) / (n_big / n_small)
+        for ts in trimmed[n_small]
+        for tb in trimmed[n_big]
     )
 
     out = {
@@ -234,6 +247,7 @@ def main() -> None:
                 scale_spans * thr[n_big] / SCALE_DOCS, 1
             ),
             "scaling_efficiency_NtoXN": round(eff, 3),
+            "scaling_efficiency_trimmed_median": round(eff_trimmed, 3),
             "scaling_efficiency_median": round(eff_median, 3),
             "scaling_samples": {
                 f"local[{c}]": [round(t, 3) for t in ts]

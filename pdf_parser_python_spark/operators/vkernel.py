@@ -235,6 +235,15 @@ def _explode_batch(batch: pa.RecordBatch):
     nonempty = _np(pc.not_equal(line_f, ""))
     keep = ok[row_doc] & (row_img | nonempty)
 
+    # span-indexed page numbers (packed_projection emits a real list per
+    # row or an all-null column when the source has no page field)
+    n_spans_total = len(kind_f)
+    span_page = np.ones(n_spans_total, dtype=np.int64)
+    if pages.null_count == 0 and len(pages):
+        pf = pc.list_flatten(pages).fill_null(1)
+        if len(pf) == n_spans_total:
+            span_page = _np(pf).astype(np.int64)
+
     ki = np.flatnonzero(keep)
     vec = {
         "doc": row_doc[ki],
@@ -242,6 +251,7 @@ def _explode_batch(batch: pa.RecordBatch):
         "span": line_parent[ki],
         "lines": pc.take(line_f, pa.array(ki)),
         "ref_f": ref_f,
+        "span_page": span_page,
         "ndocs": ndocs,
     }
     return doc_ids, vec, fb_docs
@@ -628,6 +638,280 @@ def _emit_question_scalars(state) -> pa.RecordBatch:
     )
 
 
+# ── full-entity emitter (QUESTION_FINAL, nested arrow output) ───────────
+
+_ANOM_TYPES = pa.array(
+    ["missing_question_text", "missing_answer", "orphan_image"]
+)
+_ANOM_SEV = np.array([80, 60, 30], dtype=np.int32)
+_ANOM_MSG = pa.array(
+    [
+        "Question has no text content",
+        "Question has no answer section",
+        "Question body contains only images",
+    ]
+)
+
+QUESTION_FINAL_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("seq", pa.int32()),
+        ("question_number", pa.int64()),
+        ("question_type", pa.string()),
+        ("question_text", pa.string()),
+        ("question_images", pa.list_(pa.string())),
+        (
+            "options",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("key", pa.string()),
+                        ("text", pa.string()),
+                        ("is_correct", pa.bool_()),
+                        ("images", pa.list_(pa.string())),
+                    ]
+                )
+            ),
+        ),
+        ("answer_text", pa.string()),
+        ("answer_images", pa.list_(pa.string())),
+        ("explanation_text", pa.string()),
+        ("explanation_images", pa.list_(pa.string())),
+        ("page_start", pa.int32()),
+        ("page_end", pa.int32()),
+        (
+            "anomalies",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("type", pa.string()),
+                        ("severity", pa.int32()),
+                        ("message", pa.string()),
+                        ("context", pa.map_(pa.string(), pa.string())),
+                    ]
+                )
+            ),
+        ),
+        ("anomaly_score", pa.int32()),
+        ("has_question_text", pa.bool_()),
+        ("has_answer", pa.bool_()),
+        ("has_explanation", pa.bool_()),
+        ("image_count", pa.int32()),
+    ]
+)
+
+_RE_KEY_BOUND = None  # compiled lazily (keeps import light)
+
+
+def _answer_key_set(ans: str) -> frozenset:
+    """Python twin of finalize._answer_keys membership (exact re \\b
+    semantics — the one place RE2 cannot substitute, see finalize.py
+    :30-42 / reference state_machine.py:437-452)."""
+    global _RE_KEY_BOUND
+    import re as _pyre
+
+    if _RE_KEY_BOUND is None:
+        _RE_KEY_BOUND = (
+            _pyre.compile(r"\b([A-Z])\b"),
+            _pyre.compile("([A-Z])"),
+        )
+    up = ans.strip().upper()
+    if "," in up:
+        return frozenset(
+            m for part in up.split(",")
+            for m in _RE_KEY_BOUND[0].findall(part)
+        )
+    return frozenset(_RE_KEY_BOUND[1].findall(up))
+
+
+def _list_of(values, counts) -> pa.ListArray:
+    offsets = np.concatenate(
+        ([0], np.cumsum(counts, dtype=np.int64))
+    ).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets), _combine(values))
+
+
+def _emit_final(state) -> pa.RecordBatch:
+    """QUESTION_FINAL entities straight from the vector state —
+    finalize rules (F8/F9/J5, anomaly stamping, computed fields;
+    operators/finalize.py) applied with numpy masks + arrow assembly.
+    Only answer-key parsing runs per-question Python (\\b dialect)."""
+    sg, vec, cl = state["sg"], state["vec"], state["cl"]
+    g_qid, g_sec, g_oi = state["g_qid"], state["g_sec"], state["g_oi"]
+    joined = state["joined"]
+    qid, img, sec, oi = sg["qid"], sg["img"], sg["sec"], sg["oi"]
+    nq = sg["nq"]
+
+    qtext = _per_question_text(state, 0)
+    anstext = _per_question_text(state, 2)
+    expltext = _per_question_text(state, 3)  # post-F9
+    has_q = _np(pc.not_equal(qtext, ""))
+    has_a = _np(pc.not_equal(anstext, ""))
+    has_e = _np(pc.not_equal(expltext, ""))
+
+    hot = np.zeros(nq, dtype=bool)
+    np.logical_or.at(hot, qid[sg["hot_valid"]], True)
+
+    # pages: anchor page opens page_start; only images advance page_end
+    # (reference state_machine.py:366 — text never extends it)
+    row_span = vec["span"][sg["ki"]]
+    row_page = vec["span_page"][row_span]
+    page_start = row_page[np.flatnonzero(sg["anchor_q"])].astype(np.int64)
+    page_end = page_start.copy()
+    ii = np.flatnonzero(img)
+    if len(ii):
+        np.maximum.at(page_end, qid[ii], row_page[ii])
+
+    def sec_imgs(code):
+        rows = np.flatnonzero(img & (sec == code))
+        refs = pc.take(vec["ref_f"], pa.array(row_span[rows])).fill_null("")
+        return _list_of(refs, np.bincount(qid[rows], minlength=nq))
+
+    q_imgs, a_imgs, e_imgs = sec_imgs(0), sec_imgs(2), sec_imgs(3)
+
+    # ── options: anchors + text lookup + images + F8 + J5 ──
+    ovi = np.flatnonzero(sg["opt_valid"])
+    opt_qid, opt_oi = qid[ovi], oi[ovi]
+    opt_key = pc.take(cl["key"], pa.array(sg["ki"][ovi])).fill_null("")
+
+    om = g_sec == 1
+    keymul = np.int64(
+        max(int(g_oi[om].max(initial=0)), int(opt_oi.max(initial=0))) + 2
+    )
+    want = opt_qid * keymul + opt_oi
+    okeys_sorted = g_qid[om] * keymul + g_oi[om]
+    oidx_global = np.flatnonzero(om)
+    if len(okeys_sorted):
+        pos = np.searchsorted(okeys_sorted, want)
+        found = (pos < len(okeys_sorted)) & (
+            np.take(okeys_sorted, pos, mode="clip") == want)
+        lookup = np.where(found,
+                          np.take(oidx_global, pos, mode="clip"), -1)
+    else:
+        lookup = np.full(len(want), -1, dtype=np.int64)
+    otext = pc.take(joined,
+                    pa.array(lookup, mask=lookup < 0)).fill_null("")
+
+    # option images: sec-1 image rows are sorted by (qid, oi) — the
+    # same order as the anchors — so per-anchor runs are contiguous
+    orows = np.flatnonzero(img & (sec == 1))
+    img_keys = qid[orows] * keymul + np.where(
+        sec[orows] == 1, oi[orows], 0
+    )
+    lo = np.searchsorted(img_keys, want, side="left")
+    hi = np.searchsorted(img_keys, want, side="right")
+    opt_img_counts = (hi - lo).astype(np.int64)
+    opt_img_refs = pc.take(
+        vec["ref_f"], pa.array(row_span[orows])
+    ).fill_null("")
+
+    ghost = _np(pc.equal(otext, "")) & (opt_img_counts == 0)  # F8
+    keep = ~ghost  # ghosts carry no images, so the values stay intact
+
+    # J5 correct marking (python \b-exact key sets; key ∈ valid always,
+    # so intersect-then-contains reduces to membership in the raw set)
+    marked = ~hot & has_a
+    key_py = opt_key.to_pylist()
+    ans_py = anstext.to_pylist()
+    key_sets: dict[int, frozenset] = {}
+    correct = np.zeros(len(ovi), dtype=bool)
+    for j in np.flatnonzero(marked[opt_qid] & keep):
+        q = int(opt_qid[j])
+        ks = key_sets.get(q)
+        if ks is None:
+            ks = key_sets[q] = _answer_key_set(ans_py[q])
+        correct[j] = key_py[j] in ks
+
+    ki_keep = np.flatnonzero(keep)
+    opt_struct = pa.StructArray.from_arrays(
+        [
+            _combine(pc.take(opt_key, pa.array(ki_keep))),
+            _combine(pc.take(otext, pa.array(ki_keep))),
+            pa.array(correct[ki_keep]),
+            _combine(_list_of(opt_img_refs, opt_img_counts)
+                     .take(pa.array(ki_keep))),
+        ],
+        names=["key", "text", "is_correct", "images"],
+    )
+    options = _list_of(
+        opt_struct, np.bincount(opt_qid[ki_keep], minlength=nq)
+    )
+
+    # ── anomalies (emit order: reference state_machine.py:386-414) ──
+    qimg_n = np.bincount(qid[img & (sec == 0)], minlength=nq)
+    m = np.stack([~has_q, ~hot & ~has_a, ~has_q & (qimg_n > 0)])
+    codes = np.tile(np.arange(3), nq)[m.T.ravel()]
+    ca = pa.array(codes)
+    ctx = pa.array(
+        [{"section": "question"} if c == 2 else None for c in codes],
+        pa.map_(pa.string(), pa.string()),
+    )
+    anom_struct = pa.StructArray.from_arrays(
+        [
+            _combine(pc.take(_ANOM_TYPES, ca)),
+            pa.array(_ANOM_SEV[codes]),
+            _combine(pc.take(_ANOM_MSG, ca)),
+            ctx,
+        ],
+        names=["type", "severity", "message", "context"],
+    )
+    anomalies = _list_of(anom_struct, m.sum(axis=0))
+
+    score = np.minimum(
+        100, (m * _ANOM_SEV[:, None].astype(np.int64)).sum(axis=0)
+    ).astype(np.int32)
+    img_total = np.bincount(qid[ii], minlength=nq).astype(np.int32)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(state["doc_ids"], pa.array(sg["doc_of_q"])),
+            pa.array(_doc_seq(sg)),
+            pa.array(sg["qnum_of_q"]),
+            pc.if_else(pa.array(hot), pa.scalar("hotspot"),
+                       pa.scalar("mcq")),
+            _combine(qtext),
+            q_imgs,
+            options,
+            _combine(anstext),
+            a_imgs,
+            _combine(expltext),
+            e_imgs,
+            pa.array(page_start.astype(np.int32)),
+            pa.array(page_end.astype(np.int32)),
+            anomalies,
+            pa.array(score),
+            pa.array(has_q),
+            pa.array(has_a),
+            pa.array(has_e),
+            img_total,
+        ],
+        schema=QUESTION_FINAL_ARROW_SCHEMA,
+    )
+
+
+def _fallback_final(doc_ids, fb_docs) -> pa.RecordBatch | None:
+    from . import dkernel
+
+    rows: list[tuple] = []
+    ids_py = doc_ids.to_pylist()
+    for d, k, t, r, p in fb_docs:
+        for raw in dkernel._parse_doc(ids_py[d], k, t, r, p):
+            fin = dkernel._finalize_row(raw)
+            if fin is not None:
+                rows.append(fin)
+    if not rows:
+        return None
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(cols[i]),
+                     QUESTION_FINAL_ARROW_SCHEMA.field(i).type)
+            for i in range(len(cols))
+        ],
+        schema=QUESTION_FINAL_ARROW_SCHEMA,
+    )
+
+
 # ── mapInArrow entrypoints ───────────────────────────────────────────────
 
 
@@ -671,9 +955,27 @@ def _fallback_scalars(doc_ids, fb_docs) -> pa.RecordBatch | None:
     )
 
 
+#: docs per kernel slice. Spark hands Arrow batches of up to
+#: maxRecordsPerBatch (default 10k) PACKED documents — megabytes of
+#: text that every vector pass then streams through DRAM. Re-slicing to
+#: ~768 docs keeps each pass's working set near-cache (measured: 35%
+#: faster single-core on the bench corpus, and it removes most of the
+#: memory-bandwidth contention between workers at high parallelism).
+#: Output-identical by construction: documents never span batches.
+_SLICE_DOCS = 768
+
+
+def _slices(batch: pa.RecordBatch):
+    if batch.num_rows <= _SLICE_DOCS:
+        yield batch
+        return
+    for i in range(0, batch.num_rows, _SLICE_DOCS):
+        yield batch.slice(i, _SLICE_DOCS)
+
+
 def _entry(batches, emit, fallback, schema_):
     yielded = False
-    for batch in batches:
+    for batch in (s for b in batches for s in _slices(b)):
         doc_ids, state, fb_docs = _core(batch)
         if state is not None:
             out = emit(state)
@@ -708,3 +1010,12 @@ def question_scalars_arrow(
     columns (the flagship extract_questions projection)."""
     yield from _entry(batches, _emit_question_scalars, _fallback_scalars,
                       QUESTION_SCALARS_ARROW_SCHEMA)
+
+
+def parse_docs_final_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entrypoint: packed documents → finalized QUESTION_FINAL
+    entities (nested options/images/anomalies built arrow-side)."""
+    yield from _entry(batches, _emit_final, _fallback_final,
+                      QUESTION_FINAL_ARROW_SCHEMA)

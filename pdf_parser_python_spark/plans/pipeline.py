@@ -228,13 +228,15 @@ def parse_raw(
 def extract_questions(documents: DataFrame, **kw) -> DataFrame:
     """documents → finalized question table (the flagship operator).
 
-    Packed default = fused kernel (parse + finalize in one pass, see
-    extract_flat_spans note); other engines keep parse → native
-    finalize, and tests assert row equality between the two. Documents
-    above ``giant_doc_spans`` (default GIANT_DOC_SPANS; None disables)
-    auto-route to the chunked native engine — no single-task straggler
-    on skewed corpora."""
-    if kw.get("engine", "packed") == "packed" and not kw.get(
+    Packed default = the vectorized Arrow kernel (parse + finalize in
+    one pass, nested entities assembled arrow-side — operators/
+    vkernel.py); engine="packed-pandas" keeps the fused pandas kernel;
+    other engines keep parse → native finalize, and tests assert row
+    equality between all of them. Documents above ``giant_doc_spans``
+    (default auto-probe; None disables) auto-route to the chunked
+    native engine — no single-task straggler on skewed corpora."""
+    engine = kw.get("engine", "packed")
+    if engine in ("packed", "packed-pandas") and not kw.get(
         "shuffle_partitions"
     ):
         threshold = _resolve_threshold(documents, kw)
@@ -244,9 +246,17 @@ def extract_questions(documents: DataFrame, **kw) -> DataFrame:
             else _giant_split(documents, threshold)
         )
         proj = dkernel.packed_projection(small)
-        out = proj.mapInPandas(
-            dkernel.parse_docs_final, schema=schema.QUESTION_FINAL
-        )
+        if engine == "packed":
+            from ..operators import vkernel
+
+            out = proj.mapInArrow(
+                vkernel.parse_docs_final_arrow,
+                schema=schema.QUESTION_FINAL,
+            )
+        else:
+            out = proj.mapInPandas(
+                dkernel.parse_docs_final, schema=schema.QUESTION_FINAL
+            )
         if big is not None:
             out = out.unionByName(_parse_giant_final(big))
         return out

@@ -25,6 +25,14 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# One Arrow compute thread per Python worker: pyarrow sizes its pool by
+# the MACHINE's cpu count (32), not the taskset mask, so a pinned
+# 1-core probe would otherwise time 32 threads thrashing one core
+# (measured: 41 s vs 34 s on the 40k corpus). local[N] spawns N
+# workers, so pool=1 per worker is exactly the N-single-core-executor
+# emulation the north rule asks for. Set before any JVM/worker spawns.
+os.environ["OMP_NUM_THREADS"] = "1"
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

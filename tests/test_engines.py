@@ -59,6 +59,36 @@ def test_engines_agree(spark):
     )
     assert scal == full
 
+    # full-entity emitters: vectorized arrow vs fused pandas, every
+    # nested field (options incl J5 marking, images, anomalies, pages)
+    def entities(engine):
+        rows = pipeline.extract_questions(docs, engine=engine).collect()
+        return sorted(
+            (
+                r.doc_id, r.seq, r.question_number, r.question_type,
+                r.question_text,
+                tuple(r.question_images),
+                tuple(
+                    (o["key"], o["text"], o["is_correct"],
+                     tuple(o["images"]))
+                    for o in r.options
+                ),
+                r.answer_text, tuple(r.answer_images),
+                r.explanation_text, tuple(r.explanation_images),
+                r.page_start, r.page_end,
+                tuple(
+                    (a["type"], a["severity"], a["message"],
+                     tuple(sorted((a["context"] or {}).items())))
+                    for a in r.anomalies
+                ),
+                r.anomaly_score, r.has_question_text, r.has_answer,
+                r.has_explanation, r.image_count,
+            )
+            for r in rows
+        )
+
+    assert entities("packed") == entities("packed-pandas")
+
 
 def test_py_ws_chars_equals_python_whitespace_everywhere():
     """anchors.PY_WS_CHARS (the RE2 \\s rewrite + arrow trim set) must

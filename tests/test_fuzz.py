@@ -200,6 +200,48 @@ def test_fuzz_vectorized_kernel_matches_reference(items):
 
 @given(st.lists(SPAN, min_size=1, max_size=25))
 @settings(max_examples=200, deadline=None)
+def test_fuzz_vectorized_final_matches_reference(items):
+    """The arrow full-entity emitter (QUESTION_FINAL: options with J5
+    marking, per-section images, anomalies with context, pages,
+    computed fields) against the reference's finalized entities."""
+    from pdf_parser_python_spark.operators import vkernel
+
+    spans = _spans(items)
+    exp = [
+        (
+            q["question_number"], q["question_type"], q["question_text"],
+            [(o["key"], o["text"], o["is_correct"], o["images"])
+             for o in q["options"]],
+            q["answer_text"], q["explanation_text"],
+            q["question_images"], q["answer_images"],
+            q["explanation_images"],
+            [(a["type"], a["severity"], a.get("context"))
+             for a in q["anomalies"]],
+            q["anomaly_score"], q["page_start"], q["page_end"],
+        )
+        for q in run_reference(spans)
+    ]
+    got = []
+    for b in vkernel.parse_docs_final_arrow(iter([_vkernel_batch(spans)])):
+        for r in b.to_pylist():
+            got.append((
+                r["question_number"], r["question_type"],
+                r["question_text"],
+                [(o["key"], o["text"], o["is_correct"], o["images"])
+                 for o in r["options"]],
+                r["answer_text"], r["explanation_text"],
+                r["question_images"], r["answer_images"],
+                r["explanation_images"],
+                [(a["type"], a["severity"],
+                  dict(a["context"]) if a["context"] is not None else None)
+                 for a in r["anomalies"]],
+                r["anomaly_score"], r["page_start"], r["page_end"],
+            ))
+    assert got == exp
+
+
+@given(st.lists(SPAN, min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
 def test_fuzz_fused_finalize_matches_reference(items):
     """The fused finalize (J5 answer marking, anomaly stamping incl.
     context, computed fields) against the reference's finalized

@@ -28,7 +28,7 @@ def test_packed_engine_zero_shuffle(spark):
     p = _plan(pipeline.extract_questions(_docs(spark),
                                          giant_doc_spans=None))
     assert p.count("Exchange") == 0
-    assert p.count("MapInPandas") == 1
+    assert p.count("MapInArrow") == 1 and p.count("MapInPandas") == 0
     assert "FlatMapGroupsInPandas" not in p
 
 
