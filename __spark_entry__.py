@@ -5,12 +5,12 @@ deterministically from ``sf0.001/documents.parquet`` (native Column
 ops only, BASELINE.json input_hint shape).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (+ training-data ops). 40 of 41 queries carry a full
+from SURVEY.md §2 (+ training-data ops). All 41 queries carry a full
 DuckDB oracle, INCLUDING the stateful-FSM extraction queries (the FSM
 decomposes into window cumsums + ordered string_agg —
-functions/oracle.py) and the dedup/ANN family (md5-derived pluggable
-hashing — functions/hashing.py). The one rows-only entry is
-media_features (synthesized non-tabular input).
+functions/oracle.py), the dedup/ANN family (md5-derived pluggable
+hashing — functions/hashing.py), and media_features (synthetic media
+corpus materialized to parquet, features recomputed in SQL).
 """
 
 from __future__ import annotations

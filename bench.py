@@ -42,10 +42,10 @@ HEADLINE = [
 ]
 
 
-def session(cores: int):
+def session(cores: int, uniform_scan: bool = False):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
@@ -53,8 +53,23 @@ def session(cores: int):
         .config("spark.driver.memory", "48g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if uniform_scan:
+        # scaling probes only: identical fine-grained scan partitioning
+        # at EVERY core count. The default bytesPerCore heuristic gives
+        # local[1] ~2 tasks and local[4] ~6 over the same corpus — the
+        # faster level then carries a last-wave straggler tail the slow
+        # level doesn't, which reads as false inefficiency in the N→4N
+        # ratio. ~45 equal tasks per level is also the realistic
+        # many-tasks-per-core shape of a production scan (it costs the
+        # 1-core baseline ~10% absolute in per-task overhead, which is
+        # why it stays out of the phase-1 headline config).
+        b = (
+            b.config("spark.sql.files.maxPartitionBytes",
+                     str(4 * 1024 * 1024))
+            .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        )
+    return b.getOrCreate()
 
 
 def run_to_noop(df) -> float:
@@ -160,7 +175,7 @@ def main() -> None:
     # 4-core level rides whichever cores the co-tenants touch — give it
     # 2× the samples so its min reaches the quiet floor
     inner = int(os.environ.get("BENCH_SCALE_RUNS", "3"))
-    inner_big = int(os.environ.get("BENCH_SCALE_RUNS_BIG", "6"))
+    inner_big = int(os.environ.get("BENCH_SCALE_RUNS_BIG", "8"))
     probe = os.path.join(REPO, "scripts", "scale_probe.py")
     have_taskset = shutil.which("taskset") is not None
     ncpu = os.cpu_count() or 32
@@ -177,6 +192,8 @@ def main() -> None:
                 if cores > 1 else str(start + off)]
 
     samples: dict[int, list[float]] = {n_small: [], n_big: []}
+    calibs: dict[int, list[float]] = {n_small: [], n_big: []}
+    by_round: dict[int, dict[int, list[tuple[float, float]]]] = {}
     if rounds == 0:  # BENCH_SCALE_ROUNDS=0: phase-1-only iteration mode
         out = {
             "metric": "headline_queries_wall_sec",
@@ -199,8 +216,14 @@ def main() -> None:
                    str(inner_big if cores == n_big else inner)],
                 capture_output=True, text=True, check=True,
             )
-            samples[cores].extend(
-                json.loads(r.stdout.strip().splitlines()[-1])["times"]
+            probe_out = json.loads(r.stdout.strip().splitlines()[-1])
+            probe_out.setdefault(
+                "calibs", [0.0] * len(probe_out["times"])
+            )
+            samples[cores].extend(probe_out["times"])
+            calibs[cores].extend(probe_out["calibs"])
+            by_round.setdefault(rnd, {})[cores] = list(
+                zip(probe_out["times"], probe_out["calibs"])
             )
     best = {c: min(ts) for c, ts in samples.items()}
     thr = {c: SCALE_DOCS / t for c, t in best.items()}
@@ -212,17 +235,37 @@ def main() -> None:
         for ts in samples[n_small]
         for tb in samples[n_big]
     )
-    # robust middle ground: drop the noise-inflated upper half of each
-    # level's samples (noise is strictly additive on this host), then
-    # median the cross-pair ratios of what remains. Converges to the
-    # quiet-window ratio while still averaging over several samples.
-    trimmed = {
-        c: sorted(ts)[: max(1, len(ts) // 2)] for c, ts in samples.items()
+    # robust middle ground: QUIET-WINDOW, ROUND-PAIRED trimmed median.
+    # Each timed run carries a calibration wall (scale_probe._calibrate:
+    # concurrent per-pinned-core numpy dots bracketing the run, min-of-2
+    # reps per point); a run is QUIET when its calibration sits within
+    # 30% of that level's observed floor — i.e. no sustained co-tenant
+    # load touched the pinned cores during the sample. Ratios are then
+    # taken WITHIN a round (the two levels run back-to-back, so ambient
+    # drift hits both sides of the ratio instead of one), each round
+    # contributing min-of-quiet per level, and the estimate is the
+    # median over rounds. Rounds with no quiet sample on either side are
+    # dropped; if every round drops, fall back to the global min pair.
+    floor = {
+        c: (min(calibs[c]) if calibs[c] else 0.0)
+        for c in (n_small, n_big)
     }
-    eff_trimmed = statistics.median(
-        (ts / tb) / (n_big / n_small)
-        for ts in trimmed[n_small]
-        for tb in trimmed[n_big]
+    n_quiet = {c: 0 for c in (n_small, n_big)}
+    round_ratios = []
+    for rnd, lv in sorted(by_round.items()):
+        mins = {}
+        for c in (n_small, n_big):
+            q = [t for t, cal in lv.get(c, [])
+                 if cal <= floor[c] * 1.3 + 1e-9]
+            n_quiet[c] += len(q)
+            if q:
+                mins[c] = min(q)
+        if len(mins) == 2:
+            round_ratios.append(
+                (mins[n_small] / mins[n_big]) / (n_big / n_small)
+            )
+    eff_trimmed = (
+        statistics.median(round_ratios) if round_ratios else eff
     )
 
     out = {
@@ -249,9 +292,17 @@ def main() -> None:
             "scaling_efficiency_NtoXN": round(eff, 3),
             "scaling_efficiency_trimmed_median": round(eff_trimmed, 3),
             "scaling_efficiency_median": round(eff_median, 3),
+            "scaling_quiet_samples": {
+                f"local[{c}]": n_quiet[c] for c in (n_small, n_big)
+            },
+            "scaling_round_ratios": [round(x, 3) for x in round_ratios],
             "scaling_samples": {
                 f"local[{c}]": [round(t, 3) for t in ts]
                 for c, ts in samples.items()
+            },
+            "scaling_calibs": {
+                f"local[{c}]": [round(x, 4) for x in cs]
+                for c, cs in calibs.items()
             },
             "parallelism_ratio": n_big / n_small,
         },

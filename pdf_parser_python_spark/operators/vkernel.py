@@ -88,6 +88,9 @@ _R_EXPLANATION = _re2(A.EXPLANATION, True)
 _R_HOTSPOT = _re2(A.HOTSPOT, True)
 _R_NOISE_CI = _re2(A.NOISE_CI, True)
 _R_NOISE_CS = _re2(A.NOISE_CS, False)
+#: both noise alternations in ONE pass (RE2 scoped (?i:) keeps the
+#: separator/URL rules case-sensitive) — halves the noise-scan traffic
+_R_NOISE = f"(?:(?i:{_re2(A.NOISE_CI, False)})|{_re2(A.NOISE_CS, False)})"
 _R_COVER = _re2(A.COVER_NOISE, False)
 
 #: Python str.strip() whitespace — the full unicode set (utf8_trim
@@ -275,12 +278,10 @@ def _classify(lines: pa.Array, img: np.ndarray) -> dict:
     solo/cover/qnum run on the question-anchor subset (the per-class
     remainders are computed later on even smaller subsets)."""
     n = len(img)
-    noise = _m(lines, _R_NOISE_CI) | _m(lines, _R_NOISE_CS)
-    qx = pc.extract_regex(lines, pattern=_R_QUESTION)
-    q_hit = _np(qx.is_valid())
+    noise = _m(lines, _R_NOISE)  # CI+CS alternations, one pass
+    q_hit = _m(lines, _R_QUESTION)
     hot_m = _m(lines, _R_HOTSPOT)
-    ox = pc.extract_regex(lines, pattern=_R_OPTION)
-    okey_m = _np(ox.is_valid())
+    okey_m = _m(lines, _R_OPTION)
     ans_m = _m(lines, _R_ANSWER)
     exp_m = _m(lines, _R_EXPLANATION)
 
@@ -297,6 +298,7 @@ def _classify(lines: pa.Array, img: np.ndarray) -> dict:
     qi = np.flatnonzero(q_hit)
     qnum_sub = np.zeros(0, dtype=np.int64)
     if len(qi):
+        # group extraction only on the anchor subsets (~5% of lines)
         qia = pa.array(qi)
         lines_q = pc.take(lines, qia)
         rem_q_sub = _rem(lines_q, _R_QUESTION)
@@ -307,12 +309,24 @@ def _classify(lines: pa.Array, img: np.ndarray) -> dict:
         solo[qi] = solo_sub
         cover[qi] = _m(lines_q, _R_COVER)
         qnum_sub = _qnum_i64(
-            pc.take(pc.struct_field(qx, "q").fill_null("0"), qia))
+            pc.struct_field(
+                pc.extract_regex(lines_q, pattern=_R_QUESTION), "q"
+            ).fill_null("0")
+        )
+    okey_rows = np.flatnonzero(okey)
+    okey_vals = pc.utf8_upper(
+        pc.struct_field(
+            pc.extract_regex(
+                pc.take(lines, pa.array(okey_rows)), pattern=_R_OPTION
+            ),
+            "k",
+        ).fill_null("")
+    )
     return {
         "noise": noise, "q": q_hit, "solo": solo, "cover": cover,
         "hot": hot, "okey": okey, "ans": ans, "exp": exp,
         "qi": qi, "qnum_sub": qnum_sub,
-        "key": pc.utf8_upper(pc.struct_field(ox, "k").fill_null("")),
+        "okey_rows": okey_rows, "okey_vals": okey_vals,
     }
 
 
@@ -515,7 +529,11 @@ def _emit_flat(state) -> pa.RecordBatch:
     ovi = np.flatnonzero(sg["opt_valid"])
     opt_qid = qid[ovi]
     opt_oi = oi[ovi]
-    opt_key = pc.take(state["cl"]["key"], pa.array(sg["ki"][ovi]))
+    opt_key = pc.take(
+        state["cl"]["okey_vals"],
+        pa.array(np.searchsorted(state["cl"]["okey_rows"],
+                                 sg["ki"][ovi])),
+    )
 
     om = g_sec == 1
     keymul = np.int64(
@@ -772,7 +790,10 @@ def _emit_final(state) -> pa.RecordBatch:
     # ── options: anchors + text lookup + images + F8 + J5 ──
     ovi = np.flatnonzero(sg["opt_valid"])
     opt_qid, opt_oi = qid[ovi], oi[ovi]
-    opt_key = pc.take(cl["key"], pa.array(sg["ki"][ovi])).fill_null("")
+    opt_key = pc.take(
+        cl["okey_vals"],
+        pa.array(np.searchsorted(cl["okey_rows"], sg["ki"][ovi])),
+    ).fill_null("")
 
     om = g_sec == 1
     keymul = np.int64(
@@ -912,6 +933,131 @@ def _fallback_final(doc_ids, fb_docs) -> pa.RecordBatch | None:
     )
 
 
+# ── validation emitter (per-doc ValidationReport) ────────────────────────
+
+VALIDATION_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("total_questions_detected", pa.int32()),
+        ("structured_successfully", pa.int32()),
+        ("questions_missing_answer", pa.list_(pa.int64())),
+        ("questions_missing_explanation", pa.list_(pa.int64())),
+        ("failed_to_structure", pa.list_(pa.int64())),
+        ("orphan_images", pa.int32()),
+        ("missing_question_numbers", pa.list_(pa.int64())),
+        ("gap_list_suppressed", pa.bool_()),
+        ("duplicate_question_numbers", pa.list_(pa.int64())),
+        ("anomaly_breakdown", pa.map_(pa.string(), pa.int32())),
+        ("success_rate", pa.float64()),
+    ]
+)
+
+
+def _emit_validation(state) -> pa.RecordBatch:
+    """Per-doc ValidationReport (reference validator.py:39-158) from
+    the vector state: the question-level flags come from numpy masks;
+    the per-doc list/map fields assemble in a python loop over docs —
+    ndocs-sized, trivially cheap next to the parse it fuses with.
+    Row-equality with operators/validate.validation_report and the
+    pandas validate_docs kernel is asserted by tests."""
+    from .dkernel import _round_half_up2
+
+    sg = state["sg"]
+    qid, img, sec = sg["qid"], sg["img"], sg["sec"]
+    nq = sg["nq"]
+    doc_of_q = sg["doc_of_q"]
+    qnum = sg["qnum_of_q"]
+
+    has_q = _np(pc.not_equal(_per_question_text(state, 0), ""))
+    has_a = _np(pc.not_equal(_per_question_text(state, 2), ""))
+    has_e = _np(pc.not_equal(_per_question_text(state, 3), ""))
+    hot = np.zeros(nq, dtype=bool)
+    np.logical_or.at(hot, qid[sg["hot_valid"]], True)
+    qimg_n = np.bincount(qid[img & (sec == 0)], minlength=nq)
+    orphan = ~has_q & (qimg_n > 0)
+    structured = has_q & has_a
+    miss_ans_anom = ~hot & ~has_a
+
+    starts = np.flatnonzero(_run_starts(doc_of_q))
+    bounds = np.append(starts, nq)
+    ids_py = state["doc_ids"].to_pylist()
+
+    rows = []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        nums = qnum[s:e]
+        total = e - s
+        n_struct = int(structured[s:e].sum())
+        mn, mx = int(nums.min()), int(nums.max())
+        sane = (mx - mn) <= 1_000_000
+        if sane:
+            present = np.zeros(mx - mn + 1, dtype=bool)
+            present[nums - mn] = True
+            missing = (np.flatnonzero(~present) + mn).tolist()
+        else:
+            missing = None
+        seen: set[int] = set()
+        dup: set[int] = set()
+        for n in nums.tolist():
+            if n in seen:
+                dup.add(n)
+            seen.add(n)
+        bd = {}
+        if int((~has_q[s:e]).sum()):
+            bd["missing_question_text"] = int((~has_q[s:e]).sum())
+        if int(miss_ans_anom[s:e].sum()):
+            bd["missing_answer"] = int(miss_ans_anom[s:e].sum())
+        if int(orphan[s:e].sum()):
+            bd["orphan_image"] = int(orphan[s:e].sum())
+        rows.append((
+            ids_py[doc_of_q[s]],
+            total,
+            n_struct,
+            nums[~has_a[s:e]].tolist(),
+            nums[~has_e[s:e]].tolist(),
+            nums[~structured[s:e]].tolist(),
+            int(orphan[s:e].sum()),
+            missing,
+            not sane,
+            sorted(dup),
+            dict(sorted(bd.items())),
+            _round_half_up2(n_struct / total * 100) if total else 0.0,
+        ))
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(cols[i]), VALIDATION_ARROW_SCHEMA.field(i).type)
+            for i in range(len(cols))
+        ],
+        schema=VALIDATION_ARROW_SCHEMA,
+    )
+
+
+def _fallback_validation(doc_ids, fb_docs) -> pa.RecordBatch | None:
+    from . import dkernel
+
+    rows: list[tuple] = []
+    ids_py = doc_ids.to_pylist()
+    for d, k, t, r, p in fb_docs:
+        fins = [
+            fin
+            for raw in dkernel._parse_doc(ids_py[d], k, t, r, p)
+            if (fin := dkernel._finalize_row(raw)) is not None
+        ]
+        rep = dkernel._validate_doc(fins)
+        if rep is not None:
+            rows.append(rep)
+    if not rows:
+        return None
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(cols[i]), VALIDATION_ARROW_SCHEMA.field(i).type)
+            for i in range(len(cols))
+        ],
+        schema=VALIDATION_ARROW_SCHEMA,
+    )
+
+
 # ── mapInArrow entrypoints ───────────────────────────────────────────────
 
 
@@ -1019,3 +1165,12 @@ def parse_docs_final_arrow(
     entities (nested options/images/anomalies built arrow-side)."""
     yield from _entry(batches, _emit_final, _fallback_final,
                       QUESTION_FINAL_ARROW_SCHEMA)
+
+
+def validate_docs_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entrypoint: packed documents → per-doc
+    ValidationReport rows in the same pass as the vectorized parse."""
+    yield from _entry(batches, _emit_validation, _fallback_validation,
+                      VALIDATION_ARROW_SCHEMA)

@@ -273,7 +273,8 @@ def extract_validation(documents: DataFrame, **kw) -> DataFrame:
     and then aggregates it away (r2 bench: 6.99 s vs 5.69 s for the
     parse alone at sf0.1). Other engines keep the relational
     decomposition (operators/validate.py), row-equal by test."""
-    if kw.get("engine", "packed") == "packed" and not kw.get(
+    engine = kw.get("engine", "packed")
+    if engine in ("packed", "packed-pandas") and not kw.get(
         "shuffle_partitions"
     ):
         from ..operators import dkernel as _dk
@@ -286,9 +287,17 @@ def extract_validation(documents: DataFrame, **kw) -> DataFrame:
             else _giant_split(documents, threshold)
         )
         proj = dkernel.packed_projection(small)
-        out = proj.mapInPandas(
-            _dk.validate_docs, schema=schema.VALIDATION_REPORT
-        )
+        if engine == "packed":
+            from ..operators import vkernel
+
+            out = proj.mapInArrow(
+                vkernel.validate_docs_arrow,
+                schema=schema.VALIDATION_REPORT,
+            )
+        else:
+            out = proj.mapInPandas(
+                _dk.validate_docs, schema=schema.VALIDATION_REPORT
+            )
         if big is not None:
             out = out.unionByName(_vrep(_parse_giant_final(big)))
         return out

@@ -242,6 +242,39 @@ def test_fuzz_vectorized_final_matches_reference(items):
 
 @given(st.lists(SPAN, min_size=1, max_size=25))
 @settings(max_examples=200, deadline=None)
+def test_fuzz_vectorized_validation_matches_pandas(items):
+    """The arrow validation emitter against the (oracled) python
+    _validate_doc twin on the same parse."""
+    from pdf_parser_python_spark.operators import dkernel, vkernel
+
+    spans = _spans(items)
+    fins = [
+        fin
+        for raw in dkernel._parse_doc("f", *_arrays(spans))
+        if (fin := dkernel._finalize_row(raw)) is not None
+    ]
+    rep = dkernel._validate_doc(fins)
+    exp = [] if rep is None else [
+        rep[:10] + (dict(rep[10]), rep[11])
+    ]
+    got = []
+    for b in vkernel.validate_docs_arrow(iter([_vkernel_batch(spans)])):
+        for r in b.to_pylist():
+            got.append((
+                r["doc_id"], r["total_questions_detected"],
+                r["structured_successfully"],
+                r["questions_missing_answer"],
+                r["questions_missing_explanation"],
+                r["failed_to_structure"], r["orphan_images"],
+                r["missing_question_numbers"], r["gap_list_suppressed"],
+                r["duplicate_question_numbers"],
+                dict(r["anomaly_breakdown"]), r["success_rate"],
+            ))
+    assert got == exp
+
+
+@given(st.lists(SPAN, min_size=1, max_size=25))
+@settings(max_examples=200, deadline=None)
 def test_fuzz_fused_finalize_matches_reference(items):
     """The fused finalize (J5 answer marking, anomaly stamping incl.
     context, computed fields) against the reference's finalized
