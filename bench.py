@@ -136,7 +136,7 @@ def main() -> None:
 
     # extraction throughput at full parallelism (informational: this
     # sandbox host is shared, so >8-way runs see noisy-neighbor
-    # contention — the controlled N→4N pair below uses 2 vs 8 cores)
+    # contention — the controlled pair below is pinned 1 vs 4 cores)
     t_full = min(run_to_noop(pipeline.extract_flat_spans(corpus_docs))
                  for _ in range(2))
     spark.stop()
@@ -170,7 +170,7 @@ def main() -> None:
         int(os.environ.get("BENCH_SCALE_N", "1")),
         int(os.environ.get("BENCH_SCALE_4N", "4")),
     )
-    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "4"))
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
     # asymmetric sampling: pinned 1-core walls are stable (~±3%), the
     # 4-core level rides whichever cores the co-tenants touch — give it
     # 2× the samples so its min reaches the quiet floor
