@@ -89,9 +89,17 @@ _R_HOTSPOT = _re2(A.HOTSPOT, True)
 _R_NOISE_CI = _re2(A.NOISE_CI, True)
 _R_NOISE_CS = _re2(A.NOISE_CS, False)
 #: both noise alternations in ONE pass (RE2 scoped (?i:) keeps the
-#: separator/URL rules case-sensitive) — halves the noise-scan traffic
+#: separator/URL rules case-sensitive) — used by the F9 group scrub
 _R_NOISE = f"(?:(?i:{_re2(A.NOISE_CI, False)})|{_re2(A.NOISE_CS, False)})"
 _R_COVER = _re2(A.COVER_NOISE, False)
+
+#: NOTE (measured dead end, do not revisit): folding the whole grammar
+#: into ONE ordered-alternation extract_regex pass (pkernel._COMBINED
+#: style) is ~2× SLOWER than the independent match passes above —
+#: capture groups in a large alternation push RE2 off its DFA fast
+#: path into per-line submatch NFA. Independent group-free
+#: match_substring_regex passes each stay on the DFA; group extraction
+#: then runs only on the tiny anchor subsets.
 
 #: Python str.strip() whitespace — the full unicode set (utf8_trim
 #: is codepoint-aware, so the trim matches str.strip() exactly)

@@ -63,7 +63,7 @@ def load_fixture(spark: SparkSession, fixture_dir: str) -> DataFrame:
 
 #: bump when the synthesis expression changes — cached derivations
 #: (/tmp parquet materializations) are keyed on it
-EXAM_SPANS_VERSION = 2
+EXAM_SPANS_VERSION = 3
 
 
 def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> DataFrame:
@@ -148,7 +148,14 @@ def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> Da
             i.cast("int").alias("offset"),
         ),
     )
-    return docs.select(did.alias("doc_id"), spans.alias("spans"))
+    # n_spans: scalar doc-size column so consumers (the giant-document
+    # dispatch probe, pipeline._doc_size) can filter on parquet
+    # row-group min/max stats without reading the spans column
+    return docs.select(
+        did.alias("doc_id"),
+        spans.alias("spans"),
+        F.size(spans).alias("n_spans"),
+    )
 
 
 # ── 3. distributed seeded generator (differential / skew testing) ───────
