@@ -961,13 +961,19 @@ VALIDATION_ARROW_SCHEMA = pa.schema(
 )
 
 
+_BD_KEYS = pa.array(  # breakdown keys in sorted() order
+    ["missing_answer", "missing_question_text", "orphan_image"]
+)
+
+
 def _emit_validation(state) -> pa.RecordBatch:
     """Per-doc ValidationReport (reference validator.py:39-158) from
-    the vector state: the question-level flags come from numpy masks;
-    the per-doc list/map fields assemble in a python loop over docs —
-    ndocs-sized, trivially cheap next to the parse it fuses with.
-    Row-equality with operators/validate.validation_report and the
-    pandas validate_docs kernel is asserted by tests."""
+    the vector state: scalar fields via segmented reduceat/bincount,
+    list fields via ListArray offsets over doc-sorted values; python
+    touches only the rare gap-list docs and the Decimal success-rate
+    rounding (exact HALF_UP, dkernel._round_half_up2). Row-equality
+    with operators/validate.validation_report and the pandas
+    validate_docs kernel is asserted by tests + differential fuzz."""
     from .dkernel import _round_half_up2
 
     sg = state["sg"]
@@ -987,54 +993,86 @@ def _emit_validation(state) -> pa.RecordBatch:
     miss_ans_anom = ~hot & ~has_a
 
     starts = np.flatnonzero(_run_starts(doc_of_q))
-    bounds = np.append(starts, nq)
-    ids_py = state["doc_ids"].to_pylist()
+    nd = len(starts)
+    didx = np.cumsum(_run_starts(doc_of_q)) - 1  # doc index per question
 
-    rows = []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        nums = qnum[s:e]
-        total = e - s
-        n_struct = int(structured[s:e].sum())
-        mn, mx = int(nums.min()), int(nums.max())
-        sane = (mx - mn) <= 1_000_000
-        if sane:
-            present = np.zeros(mx - mn + 1, dtype=bool)
-            present[nums - mn] = True
-            missing = (np.flatnonzero(~present) + mn).tolist()
-        else:
-            missing = None
-        seen: set[int] = set()
-        dup: set[int] = set()
-        for n in nums.tolist():
-            if n in seen:
-                dup.add(n)
-            seen.add(n)
-        bd = {}
-        if int((~has_q[s:e]).sum()):
-            bd["missing_question_text"] = int((~has_q[s:e]).sum())
-        if int(miss_ans_anom[s:e].sum()):
-            bd["missing_answer"] = int(miss_ans_anom[s:e].sum())
-        if int(orphan[s:e].sum()):
-            bd["orphan_image"] = int(orphan[s:e].sum())
-        rows.append((
-            ids_py[doc_of_q[s]],
-            total,
-            n_struct,
-            nums[~has_a[s:e]].tolist(),
-            nums[~has_e[s:e]].tolist(),
-            nums[~structured[s:e]].tolist(),
-            int(orphan[s:e].sum()),
-            missing,
-            not sane,
-            sorted(dup),
-            dict(sorted(bd.items())),
-            _round_half_up2(n_struct / total * 100) if total else 0.0,
-        ))
-    cols = list(zip(*rows))
+    def seg_sum(mask: np.ndarray) -> np.ndarray:
+        return np.add.reduceat(mask.astype(np.int64), starts)
+
+    total = seg_sum(np.ones(nq, dtype=bool))
+    n_struct = seg_sum(structured)
+    orphan_n = seg_sum(orphan)
+    mqt_n = seg_sum(~has_q)
+    manom_n = seg_sum(miss_ans_anom)
+
+    def num_list(mask: np.ndarray) -> pa.ListArray:
+        # qnum/didx are doc-sorted, so masked values group contiguously
+        return _list_of(pa.array(qnum[mask]),
+                        np.bincount(didx[mask], minlength=nd))
+
+    miss_a = num_list(~has_a)
+    miss_e = num_list(~has_e)
+    failed = num_list(~structured)
+
+    # duplicates: runs of equal (doc, qnum) in sorted order; a run of
+    # length > 1 contributes its value once, per-doc sorted ascending
+    order = np.lexsort((qnum, didx))
+    sd, sq = didx[order], qnum[order]
+    run_start = np.ones(nq, dtype=bool)
+    if nq > 1:
+        run_start[1:] = (sd[1:] != sd[:-1]) | (sq[1:] != sq[:-1])
+    rs = np.flatnonzero(run_start)
+    run_len = np.diff(np.append(rs, nq))
+    dup_rows = rs[run_len > 1]
+    dups = _list_of(pa.array(sq[dup_rows]),
+                    np.bincount(sd[dup_rows], minlength=nd))
+
+    # missing numbers: vector min/max + sane guard; the actual gap
+    # enumeration runs python-side only for docs that HAVE gaps
+    mn = np.minimum.reduceat(qnum, starts)
+    mx = np.maximum.reduceat(qnum, starts)
+    sane = (mx - mn) <= 1_000_000
+    n_distinct = np.bincount(sd[rs], minlength=nd)
+    gap_docs = sane & ((mx - mn + 1) != n_distinct)
+    missing_py: list = [[] if s else None for s in sane]
+    for d in np.flatnonzero(gap_docs):
+        lo, hi = int(mn[d]), int(mx[d])
+        present = np.zeros(hi - lo + 1, dtype=bool)
+        s, e = starts[d], starts[d] + total[d]
+        present[qnum[s:e] - lo] = True
+        missing_py[d] = (np.flatnonzero(~present) + lo).tolist()
+    missing = pa.array(missing_py, pa.list_(pa.int64()))
+
+    # anomaly_breakdown map, keys in sorted() order, zero counts absent
+    counts3 = np.stack([manom_n, mqt_n, orphan_n])  # (3, nd) key-sorted
+    present3 = counts3 > 0
+    codes = np.tile(np.arange(3), nd)[present3.T.ravel()]
+    breakdown = pa.MapArray.from_arrays(
+        pa.array(np.concatenate(
+            ([0], np.cumsum(present3.sum(axis=0)))).astype(np.int32)),
+        pc.take(_BD_KEYS, pa.array(codes)),
+        pa.array(counts3.T.ravel()[present3.T.ravel()].astype(np.int32)),
+    )
+
+    rate = pa.array([
+        _round_half_up2(int(s) / int(t) * 100) if t else 0.0
+        for s, t in zip(n_struct, total)
+    ], pa.float64())
+
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(list(cols[i]), VALIDATION_ARROW_SCHEMA.field(i).type)
-            for i in range(len(cols))
+            pc.take(state["doc_ids"], pa.array(doc_of_q[starts])),
+            pa.array(total.astype(np.int32)),
+            pa.array(n_struct.astype(np.int32)),
+            miss_a,
+            miss_e,
+            failed,
+            pa.array(orphan_n.astype(np.int32)),
+            missing,
+            pa.array(~sane),
+            dups,
+            breakdown,
+            rate,
         ],
         schema=VALIDATION_ARROW_SCHEMA,
     )
