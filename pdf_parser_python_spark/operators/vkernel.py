@@ -838,18 +838,22 @@ def _emit_final(state) -> pa.RecordBatch:
     keep = ~ghost  # ghosts carry no images, so the values stay intact
 
     # J5 correct marking (python \b-exact key sets; key ∈ valid always,
-    # so intersect-then-contains reduces to membership in the raw set)
+    # so intersect-then-contains reduces to membership in the raw set).
+    # Only the marked surviving options and their questions' answers
+    # ever materialize as python strings.
     marked = ~hot & has_a
-    key_py = opt_key.to_pylist()
-    ans_py = anstext.to_pylist()
-    key_sets: dict[int, frozenset] = {}
+    jrows = np.flatnonzero(marked[opt_qid] & keep)
     correct = np.zeros(len(ovi), dtype=bool)
-    for j in np.flatnonzero(marked[opt_qid] & keep):
-        q = int(opt_qid[j])
-        ks = key_sets.get(q)
-        if ks is None:
-            ks = key_sets[q] = _answer_key_set(ans_py[q])
-        correct[j] = key_py[j] in ks
+    if len(jrows):
+        key_py = pc.take(opt_key, pa.array(jrows)).to_pylist()
+        ans_py = pc.take(anstext, pa.array(opt_qid[jrows])).to_pylist()
+        key_sets: dict[int, frozenset] = {}
+        for i, j in enumerate(jrows):
+            q = int(opt_qid[j])
+            ks = key_sets.get(q)
+            if ks is None:
+                ks = key_sets[q] = _answer_key_set(ans_py[i])
+            correct[j] = key_py[i] in ks
 
     ki_keep = np.flatnonzero(keep)
     opt_struct = pa.StructArray.from_arrays(
