@@ -837,23 +837,45 @@ def _emit_final(state) -> pa.RecordBatch:
     ghost = _np(pc.equal(otext, "")) & (opt_img_counts == 0)  # F8
     keep = ~ghost  # ghosts carry no images, so the values stay intact
 
-    # J5 correct marking (python \b-exact key sets; key ∈ valid always,
-    # so intersect-then-contains reduces to membership in the raw set).
-    # Only the marked surviving options and their questions' answers
-    # ever materialize as python strings.
+    # J5 correct marking (key ∈ valid always, so the reference's
+    # intersect-then-contains reduces to membership in the raw key
+    # set). Vectorized for ASCII answers — RE2's \b is bit-identical to
+    # Python's on pure-ASCII text, so the comma rule is one
+    # \bL\b match and the no-comma rule one substring test per distinct
+    # key letter; only non-ASCII answers run the python \b-exact parser.
     marked = ~hot & has_a
     jrows = np.flatnonzero(marked[opt_qid] & keep)
     correct = np.zeros(len(ovi), dtype=bool)
     if len(jrows):
-        key_py = pc.take(opt_key, pa.array(jrows)).to_pylist()
-        ans_py = pc.take(anstext, pa.array(opt_qid[jrows])).to_pylist()
-        key_sets: dict[int, frozenset] = {}
-        for i, j in enumerate(jrows):
-            q = int(opt_qid[j])
-            ks = key_sets.get(q)
-            if ks is None:
-                ks = key_sets[q] = _answer_key_set(ans_py[i])
-            correct[j] = key_py[i] in ks
+        ja = pa.array(jrows)
+        ans_up = pc.utf8_upper(pc.take(anstext, pa.array(opt_qid[jrows])))
+        keys_j = pc.take(opt_key, ja).to_pylist()
+        is_ascii = _np(pc.string_is_ascii(ans_up))
+        has_comma = _np(pc.match_substring(ans_up, ","))
+        cj = np.zeros(len(jrows), dtype=bool)
+        for letter in set(keys_j):
+            if not letter:
+                continue
+            krows = np.array(
+                [i for i, k in enumerate(keys_j) if k == letter],
+                dtype=np.int64,
+            )
+            vec = krows[is_ascii[krows]]
+            if len(vec):
+                sub = pc.take(ans_up, pa.array(vec))
+                hit = np.where(
+                    has_comma[vec],
+                    _m(sub, f"\\b{letter}\\b"),
+                    _np(pc.match_substring(sub, letter)
+                        .fill_null(False)),
+                )
+                cj[vec] = hit
+        na_rows = np.flatnonzero(~is_ascii)
+        if len(na_rows):
+            ans_py = pc.take(ans_up, pa.array(na_rows)).to_pylist()
+            for i, r in zip(na_rows, range(len(na_rows))):
+                cj[i] = keys_j[i] in _answer_key_set(ans_py[r])
+        correct[jrows] = cj
 
     ki_keep = np.flatnonzero(keep)
     opt_struct = pa.StructArray.from_arrays(
