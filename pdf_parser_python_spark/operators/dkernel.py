@@ -166,7 +166,12 @@ _VALIDATION_COLUMNS = [
 
 
 def _round_half_up2(x: float) -> float:
-    """Spark's F.round = BigDecimal(double) HALF_UP — replicated exactly
+    """DOCUMENTED DEVIATION (README "Documented deviations"): the
+    reference's Python ``round(x, 2)`` is banker's rounding, so exact
+    dyadic ties differ by 0.01 (1/32 → 3.13 here vs 3.12 there). All
+    engines + the DuckDB oracle share this HALF_UP rule on purpose.
+
+    Spark's F.round = BigDecimal(double) HALF_UP — replicated exactly
     (Python's round() is banker's and would diverge on exact ties like
     3.125)."""
     from decimal import ROUND_HALF_UP, Decimal

@@ -479,7 +479,11 @@ def _core(batch: pa.RecordBatch):
         pc.take(frag, pa.array(ti)),
     )
 
-    # F9: scrub boilerplate explanations (joined strings are ASCII here)
+    # F9: scrub boilerplate explanations. Safe on the vectorized path
+    # even for non-ASCII text (NBSP/accents/Zs spaces stay here): docs
+    # whose chars make RE2 diverge from Python re (İ/ı case folds,
+    # non-ASCII digits, \b-relevant word chars) were already routed to
+    # the Python kernel by _explode_batch's dialect-divergence check.
     if len(g_qid):
         em = g_sec == 3
         if em.any():
@@ -860,16 +864,16 @@ def _emit_final(state) -> pa.RecordBatch:
                 [i for i, k in enumerate(keys_j) if k == letter],
                 dtype=np.int64,
             )
-            vec = krows[is_ascii[krows]]
-            if len(vec):
-                sub = pc.take(ans_up, pa.array(vec))
+            asc_rows = krows[is_ascii[krows]]
+            if len(asc_rows):
+                sub = pc.take(ans_up, pa.array(asc_rows))
                 hit = np.where(
-                    has_comma[vec],
+                    has_comma[asc_rows],
                     _m(sub, f"\\b{letter}\\b"),
                     _np(pc.match_substring(sub, letter)
                         .fill_null(False)),
                 )
-                cj[vec] = hit
+                cj[asc_rows] = hit
         na_rows = np.flatnonzero(~is_ascii)
         if len(na_rows):
             ans_py = pc.take(ans_up, pa.array(na_rows)).to_pylist()

@@ -77,17 +77,79 @@ def _giant_split(
 #: (straggler or an empty union branch), never correctness.
 _GIANT_PROBE_CACHE: dict[tuple, bool] = {}
 
+#: footer-stats bound: above this many input files the driver-side
+#: footer walk is skipped in favor of the (stats-pruned) probe job —
+#: which is the right tool for huge tables anyway. At real 100-TB
+#: Iceberg scale the catalog's table-level column stats replace both.
+_FOOTER_MAX_FILES = 1024
+
+
+def _footer_max_doc_spans(documents: DataFrame) -> int | None:
+    """Driver-side max per-doc span count from parquet row-group footer
+    statistics — ZERO Spark jobs, so a cold ``extract_questions`` plan
+    build stays job-free when the table carries a scalar ``n_spans``
+    column with stats (the recommended 100-TB ingest shape).
+
+    Returns None when unavailable (no ``n_spans``, non-local-file plan,
+    > ``_FOOTER_MAX_FILES`` files, stats missing) — callers then fall
+    back to the memoized probe job. When the DataFrame carries filters
+    above the scan, ``inputFiles()`` still lists the underlying files,
+    so the bound is conservative (may over-report a giant that the
+    filter drops): a perf-only false positive, never a correctness one.
+    """
+    if "n_spans" not in documents.columns:
+        return None
+    try:
+        files = documents.inputFiles()
+    except Exception:
+        return None
+    if not files or len(files) > _FOOTER_MAX_FILES:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    mx = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote FS: let the partition-pruned job do it
+        path = unquote(parsed.path)
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:
+            return None
+        col_idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).path == "n_spans"
+            ),
+            None,
+        )
+        if col_idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max or st.max is None:
+                return None
+            mx = max(mx, int(st.max))
+    return mx
+
 
 def _resolve_threshold(documents: DataFrame, kw: dict) -> int | None:
     """Giant-doc dispatch policy for the packed engines.
 
-    ``giant_doc_spans`` kw: ``"auto"`` (default) probes the corpus with
-    one tiny driver job — `any doc > GIANT_DOC_SPANS spans?` — and only
+    ``giant_doc_spans`` kw: ``"auto"`` (default) bounds the corpus's
+    max doc size — `any doc > GIANT_DOC_SPANS spans?` — and only
     builds the union plan when outliers exist, because the chunked
     branch carries seconds of fixed plan/stage overhead that the common
-    giant-free case must not pay. An explicit int forces the static
-    union (deterministic plan, no probe job); None disables dispatch.
-    Streaming inputs skip the probe (no eager jobs on a stream).
+    giant-free case must not pay. The bound comes from parquet footer
+    stats read driver-side (``_footer_max_doc_spans``: zero Spark
+    jobs) when the table carries ``n_spans``; otherwise one tiny
+    memoized probe job. An explicit int forces the static union
+    (deterministic plan, no probe); None disables dispatch. Streaming
+    inputs skip the probe (no eager jobs on a stream).
     """
     threshold = kw.get("giant_doc_spans", "auto")
     if threshold != "auto":
@@ -105,9 +167,13 @@ def _resolve_threshold(documents: DataFrame, kw: dict) -> int | None:
     if key is not None and key in _GIANT_PROBE_CACHE:
         has_giant = _GIANT_PROBE_CACHE[key]
     else:
-        has_giant = not documents.where(
-            _doc_size(documents) > F.lit(GIANT_DOC_SPANS)
-        ).isEmpty()
+        footer_max = _footer_max_doc_spans(documents)
+        if footer_max is not None:
+            has_giant = footer_max > GIANT_DOC_SPANS
+        else:
+            has_giant = not documents.where(
+                _doc_size(documents) > F.lit(GIANT_DOC_SPANS)
+            ).isEmpty()
         if key is not None:
             _GIANT_PROBE_CACHE[key] = has_giant
     return GIANT_DOC_SPANS if has_giant else None
