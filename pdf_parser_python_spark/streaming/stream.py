@@ -27,8 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from .. import schema
-from ..operators import finalize as _finalize
-from ..operators import flatten as _flatten
 from ..plans import pipeline
 
 
@@ -44,13 +42,16 @@ def read_documents_stream(
 
 
 def streaming_questions(documents_stream: DataFrame) -> DataFrame:
-    """Streaming DF of finalized questions (stateless transform)."""
-    raw = pipeline.parse_raw(documents_stream, engine="packed")
-    return _finalize.finalize_questions(raw)
+    """Streaming DF of finalized questions — the SAME vectorized Arrow
+    kernel (operators/vkernel.py, one mapInArrow stage) as batch:
+    ``extract_questions`` skips the giant-doc probe on streaming inputs
+    (no eager jobs on a stream) and the transform is stateless per
+    document row, so batch and streaming share the fast path."""
+    return pipeline.extract_questions(documents_stream)
 
 
 def streaming_flat_spans(documents_stream: DataFrame) -> DataFrame:
-    return _flatten.flat_spans(streaming_questions(documents_stream))
+    return pipeline.extract_flat_spans(documents_stream)
 
 
 def start_extraction(

@@ -137,3 +137,21 @@ def stateful_doc_assembler(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def assembled_documents(assembled: DataFrame) -> DataFrame:
+    """Assembler output (doc_id, n_spans, spans_json) → packed
+    DOCUMENT_SPANS rows, so finished documents flow straight into the
+    vectorized batch kernel (``pipeline.extract_questions`` /
+    ``extract_flat_spans``) INSIDE the same streaming query — the
+    stateful op is the only stateful stage; everything after it is a
+    stateless mapInArrow, which Structured Streaming permits in append
+    mode. This is how the streaming and batch paths share vkernel."""
+    from .. import schema as _schema
+
+    span_type = _schema.DOCUMENT_SPANS["spans"].dataType
+    return assembled.select(
+        "doc_id",
+        F.from_json("spans_json", span_type).alias("spans"),
+        "n_spans",
+    )

@@ -86,3 +86,59 @@ def test_stateful_doc_assembler(spark):
             assert r.n_spans == 5 + d
             spans = json.loads(r.spans_json)
             assert [s["offset"] for s in spans] == list(range(5 + d))
+
+
+def test_assembler_feeds_vectorized_kernel(spark):
+    """Finished documents from the stateful assembler flow through the
+    SAME vectorized extraction kernel as batch, inside one streaming
+    query (stateful stage → stateless mapInArrow)."""
+    from pdf_parser_python_spark import schema
+    from pdf_parser_python_spark.plans import pipeline
+
+    lines = ["Question: 1", "What is streaming?", "A. a river",
+             "B. a query", "Answer: B", "Question: 2",
+             "Why vectorize?", "A. speed", "B. style", "Answer: A"]
+    rows = [("sdoc-0", "text", ln, "", i) for i, ln in enumerate(lines)]
+
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        df = spark.createDataFrame(
+            rows, "doc_id string, kind string, text string, "
+                  "media_ref string, offset int"
+        )
+        df.coalesce(1).write.parquet(os.path.join(src, "part1"))
+
+        stream = spark.readStream.schema(df.schema).parquet(src + "/*")
+        assembled = W.stateful_doc_assembler(stream, timeout_ms=800)
+        questions = pipeline.extract_questions(
+            W.assembled_documents(assembled)
+        )
+        q = (
+            questions.writeStream.format("memory")
+            .queryName("stream_questions")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(td, "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = spark.sql("select * from stream_questions").collect()
+            if len(got) == 2:
+                break
+            time.sleep(0.5)
+        q.stop()
+
+        # row-equal to the batch vectorized kernel over the same doc
+        batch_doc = spark.createDataFrame(
+            [("sdoc-0",
+              [{"kind": "text", "text": ln, "media_ref": "", "offset": i}
+               for i, ln in enumerate(lines)])],
+            schema=schema.DOCUMENT_SPANS,
+        )
+        expected = pipeline.extract_questions(batch_doc).collect()
+        key = lambda r: (r["seq"], r["question_number"],
+                         r["question_text"], r["answer_text"])
+        assert sorted(map(key, got)) == sorted(map(key, expected))
