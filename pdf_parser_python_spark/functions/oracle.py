@@ -388,7 +388,7 @@ SELECT media_ref, sha256(hx) AS sha256, n::INT AS n_bytes,
 FROM kept"""
 
 
-def dedup_simhash_sql(max_hamming: int = 3) -> str:
+def dedup_simhash_sql(max_hamming: int = 3, max_bucket: int = 4096) -> str:
     from ..operators.dedup import simhash_blocks
 
     blocks = simhash_blocks(max_hamming)
@@ -417,10 +417,16 @@ sigs AS (
 keyed AS (
     SELECT doc_id, sig, i AS block, ((sig >> (i * {pbits})) & {mask}) AS prefix
     FROM sigs, (SELECT unnest(range(0, {blocks})) AS i)),
+keyed_capped AS (
+    -- mirrors simhash_near_dups' max_bucket skew guard
+    SELECT doc_id, sig, block, prefix FROM (
+        SELECT k.*, count(*) OVER (PARTITION BY block, prefix) AS _bn
+        FROM keyed k)
+    WHERE _bn <= {max_bucket}),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sig, b.sig))::INT AS hamming
-    FROM keyed a JOIN keyed b
+    FROM keyed_capped a JOIN keyed_capped b
       ON a.block = b.block AND a.prefix = b.prefix AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
 

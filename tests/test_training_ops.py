@@ -153,3 +153,101 @@ def test_embedding_near_dups(spark):
     assert all(a < b for a, b in pairs)
     # random pairs shouldn't clear a 0.98 cosine bar
     assert not any(a >= 50 and b >= 50 for a, b in pairs)
+
+
+# ── vectorized (Arrow/numpy) twins vs native, + cluster assignment ─────
+
+
+def test_simhash_vectorized_bit_identical(docs, spark):
+    native = dedup.simhash_near_dups(docs).collect()
+    vec = dedup.simhash_near_dups(docs, vectorized=True).collect()
+    key = lambda r: (r.doc_a, r.doc_b, r.hamming)
+    assert sorted(map(key, native)) == sorted(map(key, vec))
+    # signature-level equality, including the empty-string shingle case
+    from pdf_parser_python_spark.operators.textstats import shingles
+    from pdf_parser_python_spark.functions.hashing import xx64
+
+    probe = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, "a b c d e f g h i j k l m")],
+        "doc_id long, text string",
+    )
+    nat = probe.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("sig")
+    ).collect()
+    hv = F.transform(shingles(F.col("text")), lambda s: xx64(s, 0))
+    vec2 = probe.select(
+        "doc_id", dedup._simhash_majority_udf()(hv).alias("sig")
+    ).collect()
+    assert {r.doc_id: r.sig for r in nat} == {r.doc_id: r.sig for r in vec2}
+
+
+def test_embedding_vectorized_agrees(spark):
+    from pdf_parser_python_spark.sources import textgen
+
+    emb = textgen.dedup_bench_embeddings(spark, 3000, dim=8).cache()
+    nat = dedup.embedding_near_dups(
+        emb, threshold=0.9, n_planes=8, id_col="vec_id",
+        vec_col="embedding",
+    ).collect()
+    vec = dedup.embedding_near_dups(
+        emb, threshold=0.9, n_planes=8, id_col="vec_id",
+        vec_col="embedding", vectorized=True,
+    ).collect()
+    key = lambda r: (r.vec_a, r.vec_b, r.cosine)
+    assert sorted(map(key, nat)) == sorted(map(key, vec))
+
+    nat_k = similarity.lsh_bucket_topk(emb, 17, 5, n_planes=8).collect()
+    vec_k = similarity.lsh_bucket_topk(
+        emb, 17, 5, n_planes=8, vectorized=True
+    ).collect()
+    assert [(r.vec_id, r.score) for r in nat_k] == [
+        (r.vec_id, r.score) for r in vec_k
+    ]
+
+    nat_i = similarity.ivf_topk(emb, 17, 5, n_cells=8, n_probe=3).collect()
+    vec_i = similarity.ivf_topk(
+        emb, 17, 5, n_cells=8, n_probe=3, vectorized=True
+    ).collect()
+    assert [(r.vec_id, r.score) for r in nat_i] == [
+        (r.vec_id, r.score) for r in vec_i
+    ]
+
+
+def test_minhash_cluster_assignment(spark):
+    from pdf_parser_python_spark.sources import textgen
+
+    # a slice of the planted 5-member clusters + background singletons
+    docs = textgen.dedup_bench_corpus(
+        spark, 300, start=textgen.SMALL_START
+    ).union(
+        textgen.dedup_bench_corpus(spark, 50, start=textgen.SMALL_END + 100)
+    )
+    labels = {
+        r.doc_id: r.cluster_rep
+        for r in dedup.minhash_dedup_clusters(docs).collect()
+    }
+    base = textgen.SMALL_START
+    # LSH banding is probabilistic: a member can miss every bucket of
+    # its cluster-mates with P≈(1-s^4)^8 ≈ 2-3% at s≈0.78 — assert
+    # high recall + zero cross-cluster merges, not perfection
+    hits = 0
+    for c in range(60):
+        members = [base + 5 * c + j for j in range(5)]
+        for m in members:
+            rep = labels.get(m)
+            if rep is not None:
+                assert rep in members, (c, m, rep)  # never cross-cluster
+            if rep == members[0]:
+                hits += 1
+    assert hits >= 0.9 * 300, hits
+    # background docs share no bucket → excluded as singletons
+    assert all(d < base + 300 for d in labels)
+
+
+def test_minhash_pairs_slim_join_same_output(docs):
+    # the slim-join rework must not change the pair set
+    got = dedup.minhash_lsh_pairs(docs).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} >= {(1, 2)}
+    for r in got:
+        if (r.doc_a, r.doc_b) == (1, 2):
+            assert r.sig_similarity == 1.0
