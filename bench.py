@@ -25,10 +25,21 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
 N_DOCS = int(os.environ.get("BENCH_DOCS", str(int(200000 * SF))))
 # grammar version in the cache name: editing the synthetic generator
-# must invalidate the materialized corpus
+# must invalidate the materialized corpus ("ns" suffix: corpora now
+# carry a scalar n_spans column so the giant-doc dispatch reads parquet
+# footer stats instead of running a probe job)
 from pdf_parser_python_spark.sources.spans import GRAMMAR_VERSION  # noqa: E402
 
-CORPUS = f"/tmp/bench_corpus_v{GRAMMAR_VERSION}_{N_DOCS}.parquet"
+CORPUS = f"/tmp/bench_corpus_v{GRAMMAR_VERSION}ns_{N_DOCS}.parquet"
+#: giant-doc phase: same corpus + ONE pathological document this long
+GIANT_SPANS = int(os.environ.get("BENCH_GIANT_SPANS", "2000000"))
+GIANT_CORPUS = (
+    f"/tmp/bench_corpus_v{GRAMMAR_VERSION}ns_{N_DOCS}_g{GIANT_SPANS}.parquet"
+)
+#: dedup/ANN scale phase corpus size (0 disables the phase)
+DEDUP_DOCS = int(os.environ.get("BENCH_DEDUP_DOCS", "1000000"))
+DEDUP_DOCS_DIR = f"/tmp/bench_dedup_docs_{DEDUP_DOCS}.parquet"
+DEDUP_EMB_DIR = f"/tmp/bench_dedup_emb_{DEDUP_DOCS}.parquet"
 # phase-2 scaling corpus: 2× the headline corpus so each timed run
 # stays long enough (≥~8 s at the 4N level) that per-job fixed cost
 # (~0.6 s planning/commit) cannot bias the efficiency ratio
@@ -78,6 +89,291 @@ def run_to_noop(df) -> float:
     return time.perf_counter() - t0
 
 
+def _giant_doc_df(spark):
+    """ONE pathological GIANT_SPANS-span document, built natively (no
+    driver materialization) in the corpus schema. Reference scenario:
+    the 2,000-image PL-300 page that serialized the reference parser
+    (/root/reference/debug_log.txt)."""
+    from pyspark.sql import functions as F
+
+    idx = F.sequence(F.lit(0), F.lit(GIANT_SPANS - 1))
+
+    def element(ix):
+        q = (ix / F.lit(5)).cast("int") + 1
+        m = ix % 5
+        text = (
+            F.when(m == 0, F.concat(F.lit("Question: "), q.cast("string")))
+            .when(m == 1, F.lit("Which statement applies to this giant document?"))
+            .when(m == 2, F.lit("A. alpha"))
+            .when(m == 3, F.lit("B. beta"))
+            .otherwise(F.lit("Answer: B"))
+        )
+        return F.struct(
+            F.lit("text").alias("kind"),
+            text.alias("text"),
+            F.lit("").alias("media_ref"),
+            ix.cast("int").alias("offset"),
+            F.lit(1).cast("int").alias("page"),
+        )
+
+    return spark.range(1).select(
+        F.lit("giant-000").alias("doc_id"),
+        F.transform(idx, element).alias("spans"),
+        F.lit(GIANT_SPANS).alias("n_spans"),
+    )
+
+
+def _giant_phase(spark, corpus_docs) -> dict:
+    """VERDICT r3 item 2, revised by measurement: a giant doc PACKED as
+    one row is scan-bound (one task decodes the row regardless of the
+    downstream plan), so three shapes are timed on the same content:
+
+    - packed, default policy (threshold 5M → 2M-span doc stays in the
+      fused single-task kernel — the measured best plan);
+    - packed, dispatch FORCED at the old 250k threshold (chunked
+      reroute) — documents why the threshold was raised;
+    - span-grained rows (the recommended ingest shape for pathological
+      docs) through the anchor-chunked vectorized kernel — the scan
+      itself parallelizes and the straggler disappears.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators import chunked
+    from pdf_parser_python_spark.plans import pipeline
+
+    if not os.path.exists(GIANT_CORPUS):
+        corpus_docs.unionByName(_giant_doc_df(spark)).write.mode(
+            "overwrite"
+        ).parquet(GIANT_CORPUS)
+    rows_dir = GIANT_CORPUS.replace(".parquet", "_rows.parquet")
+    if not os.path.exists(rows_dir):
+        _giant_doc_df(spark).select(
+            "doc_id", F.explode("spans").alias("s")
+        ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset",
+                 "s.page").repartition(32).write.mode("overwrite").parquet(
+            rows_dir
+        )
+    gd = spark.read.parquet(GIANT_CORPUS)
+    span_rows = spark.read.parquet(rows_dir)
+    walls = {}
+    for tag, fn in (
+        ("packed_default", lambda: pipeline.extract_flat_spans(gd)),
+        ("packed_forced_dispatch",
+         lambda: pipeline.extract_flat_spans(gd, giant_doc_spans=250_000)),
+        ("span_rows_chunked_kernel",
+         lambda: chunked.parse_span_rows_final(span_rows, 100_000)),
+    ):
+        walls[tag] = round(min(run_to_noop(fn()) for _ in range(2)), 3)
+    # row-equality spot check: chunked span-row parse vs packed parse
+    n_chunked = chunked.parse_span_rows_final(span_rows, 100_000).count()
+    n_packed = (
+        pipeline.extract_questions(gd, giant_doc_spans=None)
+        .where(F.col("doc_id") == "giant-000").count()
+    )
+    return {
+        "giant_doc_spans": GIANT_SPANS,
+        "walls_sec": walls,
+        "giant_questions_span_rows": n_chunked,
+        "giant_questions_packed": n_packed,
+        "rows_equal": n_chunked == n_packed,
+        "note": (
+            "packed giant rows are scan-bound (one task decodes the row)"
+            " — split giant docs to span rows at ingest; the chunked"
+            " kernel then parallelizes end to end"
+        ),
+    }
+
+
+def _dedup_phase(spark) -> dict:
+    """VERDICT r3 item 1: the dedup/ANN family at DEDUP_DOCS rows over
+    a corpus with a planted 10⁵-member mega-cluster and 10⁴ planted
+    5-member near-dup clusters (sources/textgen.py) — walls, pair
+    counts, the max-bucket histogram with the skew cap engaging on the
+    mega-cluster, and recall against the planted truth."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators import dedup, similarity
+    from pdf_parser_python_spark.sources import textgen
+
+    if not os.path.exists(DEDUP_DOCS_DIR):
+        textgen.dedup_bench_corpus(spark, DEDUP_DOCS).write.mode(
+            "overwrite"
+        ).parquet(DEDUP_DOCS_DIR)
+    if not os.path.exists(DEDUP_EMB_DIR):
+        textgen.dedup_bench_embeddings(spark, DEDUP_DOCS).write.mode(
+            "overwrite"
+        ).parquet(DEDUP_EMB_DIR)
+    docs = spark.read.parquet(DEDUP_DOCS_DIR)
+    emb = spark.read.parquet(DEDUP_EMB_DIR)
+    # the planted layout (mega cluster, 5-member clusters, vec pairs)
+    # occupies ids up to PAIR_BASE+PAIR_OFFSET+N_PAIR; a smaller corpus
+    # still measures walls/pair counts but recall fields are undefined
+    full_layout = DEDUP_DOCS >= (
+        textgen.PAIR_BASE + textgen.PAIR_OFFSET + textgen.N_PAIR
+    )
+    S, E, C = textgen.SMALL_START, textgen.SMALL_END, textgen.SMALL_SIZE
+    expected_planted = textgen.N_SMALL * C * (C - 1) // 2
+    out: dict = {
+        "n_docs": DEDUP_DOCS,
+        "layout": {
+            "mega_cluster": textgen.MEGA,
+            "planted_clusters": textgen.N_SMALL,
+            "cluster_size": C,
+            "embedding_mega": textgen.MEGA_VECS,
+            "planted_vec_pairs": textgen.N_PAIR,
+        },
+    }
+
+    def same_cluster(a, b):
+        return ((F.col(a) >= S) & (F.col(b) < E) & (
+            ((F.col(a) - S) / C).cast("long")
+            == ((F.col(b) - S) / C).cast("long")
+        ))
+
+    # ── minhash band-bucket histogram + cap engagement (diagnostic) ──
+    cap = 4096
+    hist = (
+        dedup.minhash_band_buckets(docs)
+        .groupBy("band", "bucket").count()
+    )
+    bins = (
+        hist.groupBy(F.ceil(F.log2("count")).alias("b2"))
+        .agg(F.count("*").alias("n_buckets"), F.max("count").alias("max_n"))
+        .orderBy("b2").collect()
+    )
+    over = hist.where(F.col("count") > cap).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")
+              ).alias("pairs"),
+        F.max("count").alias("mx"),
+    ).first()
+    out["minhash_bucket_histogram_log2"] = {
+        str(int(r["b2"])): {"n_buckets": r["n_buckets"],
+                            "max_size": r["max_n"]}
+        for r in bins
+    }
+    out["minhash_cap"] = {
+        "max_bucket": cap,
+        "buckets_over_cap": over["n"],
+        "max_bucket_size": over["mx"],
+        "join_pairs_suppressed_by_cap": over["pairs"],
+    }
+
+    # ── minhash LSH pairs (capped listing) ──
+    t0 = time.perf_counter()
+    pdir = "/tmp/bench_minhash_pairs.parquet"
+    dedup.minhash_lsh_pairs(docs).write.mode("overwrite").parquet(pdir)
+    wall = time.perf_counter() - t0
+    pairs = spark.read.parquet(pdir)
+    planted = pairs.where(same_cluster("doc_a", "doc_b")).count()
+    out["minhash_pairs"] = {
+        "wall_sec": round(wall, 1),
+        "pairs": pairs.count(),
+        "planted_recall": round(planted / expected_planted, 4),
+    }
+
+    # ── minhash cluster assignment (linear output) ──
+    t0 = time.perf_counter()
+    cdir = "/tmp/bench_minhash_clusters.parquet"
+    dedup.minhash_dedup_clusters(docs).write.mode("overwrite").parquet(cdir)
+    wall = time.perf_counter() - t0
+    labels = spark.read.parquet(cdir)
+    mega_hit = labels.where(
+        (F.col("doc_id") < textgen.MEGA) & (F.col("cluster_rep") == 0)
+    ).count()
+    small = labels.where(
+        (F.col("doc_id") >= S) & (F.col("doc_id") < E)
+        & (F.col("cluster_rep")
+           == S + ((F.col("doc_id") - S) / C).cast("long") * C)
+    ).count()
+    out["minhash_clusters"] = {
+        "wall_sec": round(wall, 1),
+        "docs_labeled": labels.count(),
+        "mega_members_on_rep0": mega_hit,
+        "mega_coverage": round(mega_hit / textgen.MEGA, 4),
+        "planted_members_on_cluster_min": small,
+        "planted_coverage": round(small / (textgen.N_SMALL * C), 4),
+    }
+
+    # ── simhash pairs (vectorized majority vote) ──
+    t0 = time.perf_counter()
+    sdir = "/tmp/bench_simhash_pairs.parquet"
+    dedup.simhash_near_dups(docs, vectorized=True).write.mode(
+        "overwrite"
+    ).parquet(sdir)
+    wall = time.perf_counter() - t0
+    spairs = spark.read.parquet(sdir)
+    planted = spairs.where(same_cluster("doc_a", "doc_b")).count()
+    out["simhash_pairs"] = {
+        "wall_sec": round(wall, 1),
+        "pairs": spairs.count(),
+        "planted_recall": round(planted / expected_planted, 4),
+    }
+
+    # ── embedding near-dups (vectorized) + planted-pair recall ──
+    t0 = time.perf_counter()
+    edir = "/tmp/bench_embedding_pairs.parquet"
+    dedup.embedding_near_dups(
+        emb, threshold=0.99, id_col="vec_id", vec_col="embedding",
+        vectorized=True,
+    ).write.mode("overwrite").parquet(edir)
+    wall = time.perf_counter() - t0
+    epairs = spark.read.parquet(edir)
+    pb, po, npair = textgen.PAIR_BASE, textgen.PAIR_OFFSET, textgen.N_PAIR
+    found = epairs.where(
+        (F.col("vec_a") >= pb) & (F.col("vec_a") < pb + npair)
+        & (F.col("vec_b") == F.col("vec_a") + po)
+    ).count()
+    out["embedding_pairs"] = {
+        "wall_sec": round(wall, 1),
+        "pairs": epairs.count(),
+        "planted_recall": round(found / npair, 4),
+    }
+
+    # ── ANN top-k: exact vs LSH-bucket vs IVF on a planted query ──
+    if not full_layout:
+        out["note"] = ("corpus smaller than the planted layout; "
+                       "recall fields reflect a truncated corpus")
+        return out
+    qid = pb + 5
+    partner = qid + po
+    t0 = time.perf_counter()
+    exact = similarity.cosine_topk(emb, qid, 10).collect()
+    w_exact = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lsh = similarity.lsh_bucket_topk(
+        emb, qid, 10, n_planes=dedup.lsh_planes_for(DEDUP_DOCS),
+        vectorized=True,
+    ).collect()
+    w_lsh = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ivf = similarity.ivf_topk(
+        emb, qid, 10, n_cells=64, n_probe=6, vectorized=True
+    ).collect()
+    w_ivf = time.perf_counter() - t0
+    exact_ids = [r["vec_id"] for r in exact]
+    out["ann_topk"] = {
+        "query_vec_id": qid,
+        "planted_partner": partner,
+        "exact": {"wall_sec": round(w_exact, 2),
+                  "top1": exact_ids[0],
+                  "partner_is_top1": exact_ids[0] == partner},
+        "lsh": {"wall_sec": round(w_lsh, 2),
+                "top1": lsh[0]["vec_id"],
+                "recall_at_10_vs_exact": round(
+                    len(set(exact_ids)
+                        & {r["vec_id"] for r in lsh}) / 10, 2)},
+        "ivf": {"wall_sec": round(w_ivf, 2),
+                "top1": ivf[0]["vec_id"],
+                "recall_at_10_vs_exact": round(
+                    len(set(exact_ids)
+                        & {r["vec_id"] for r in ivf}) / 10, 2)},
+    }
+    return out
+
+
 def warmup(spark) -> None:
     """Spin up Python workers + codegen before timed runs."""
     from pdf_parser_python_spark import schema
@@ -106,18 +402,21 @@ def main() -> None:
     entrymod._ensure_shipped(spark)
     warmup(spark)
 
-    # materialize the corpora once (identical input for every run)
+    from pyspark.sql import functions as F
+
+    # materialize the corpora once (identical input for every run);
+    # n_spans column → parquet footer stats → the giant-doc dispatch
+    # builds its plan with ZERO probe jobs (plans/pipeline.py)
     if not os.path.exists(CORPUS):
-        synthetic_corpus(spark, N_DOCS, mean_questions=12).write.mode(
-            "overwrite"
-        ).parquet(CORPUS)
+        synthetic_corpus(spark, N_DOCS, mean_questions=12).withColumn(
+            "n_spans", F.size("spans")
+        ).write.mode("overwrite").parquet(CORPUS)
     if not os.path.exists(SCALE_CORPUS):
-        synthetic_corpus(spark, SCALE_DOCS, mean_questions=12).write.mode(
-            "overwrite"
-        ).parquet(SCALE_CORPUS)
+        synthetic_corpus(spark, SCALE_DOCS, mean_questions=12).withColumn(
+            "n_spans", F.size("spans")
+        ).write.mode("overwrite").parquet(SCALE_CORPUS)
     corpus_docs = spark.read.parquet(CORPUS)
     n_docs = corpus_docs.count()
-    from pyspark.sql import functions as F
 
     n_spans = corpus_docs.select(F.sum(F.size("spans"))).first()[0]
     scale_spans = int(
@@ -125,20 +424,55 @@ def main() -> None:
         .select(F.sum(F.size("spans"))).first()[0]
     )
 
+    # quiet-window bracketing (VERDICT r3 item 4): each timed sample is
+    # bracketed by scripts/quiet.calibrate; a sample is quiet when both
+    # brackets sit within 30% of the phase's calibration floor, making
+    # any cross-round drift >1.2x attributable (ambient vs regression)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from quiet import calibrate
+
+    cal_floor = [calibrate(CPUS)]
+
+    def timed_quiet(df) -> tuple[float, float]:
+        c1 = calibrate(CPUS)
+        w = run_to_noop(df)
+        c2 = calibrate(CPUS)
+        c = max(c1, c2)
+        cal_floor[0] = min(cal_floor[0], c1, c2)
+        return w, c
+
     queries = entrymod.queries()
     times: dict[str, float] = {}
+    qcal: dict[str, dict] = {}
     for name in HEADLINE:
         df = queries[name](spark, SF_DIR)
-        # best-of-2 on the heavy extraction queries: the shared host's
+        # best-of-N on the heavy extraction queries: the shared host's
         # co-tenants inject multi-second spikes into single samples
         runs = 3 if name.startswith("extract_") else 1
-        times[name] = round(min(run_to_noop(df) for _ in range(runs)), 3)
+        samples = [timed_quiet(df) for _ in range(runs)]
+        # one bounded retry when every bracket of this query was loud
+        if all(c > cal_floor[0] * 1.3 for _, c in samples):
+            samples.append(timed_quiet(df))
+        best_w, best_c = min(samples)
+        times[name] = round(best_w, 3)
+        qcal[name] = {
+            "calib": round(best_c, 4),
+            "quiet": bool(best_c <= cal_floor[0] * 1.3),
+        }
+    for name in qcal:  # floor only final after the whole phase
+        qcal[name]["quiet"] = bool(
+            qcal[name]["calib"] <= cal_floor[0] * 1.3
+        )
 
     # extraction throughput at full parallelism (informational: this
     # sandbox host is shared, so >8-way runs see noisy-neighbor
     # contention — the controlled pair below is pinned 1 vs 4 cores)
     t_full = min(run_to_noop(pipeline.extract_flat_spans(corpus_docs))
                  for _ in range(2))
+
+    # ── phase 1b: giant-doc dispatch; phase 1c: dedup/ANN at scale ──
+    giant = _giant_phase(spark, corpus_docs) if GIANT_SPANS else None
+    dedup_scale = _dedup_phase(spark) if DEDUP_DOCS else None
     spark.stop()
 
     # ── phase 2: N vs 4N cores on identical input (north rule) ──
@@ -199,6 +533,10 @@ def main() -> None:
             "metric": "headline_queries_wall_sec",
             "value": round(sum(times.values()), 3),
             "unit": "sec", "queries": times, "sf": SF,
+            "queries_calibration": qcal,
+            "calibration_floor": round(cal_floor[0], 4),
+            "giant_doc": giant,
+            "dedup_scale": dedup_scale,
             "extraction": {
                 "corpus_docs": n_docs, "corpus_spans": int(n_spans),
                 f"docs_per_sec_local[{CPUS}]": round(n_docs / t_full, 1),
@@ -297,6 +635,10 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": SF,
+        "queries_calibration": qcal,
+        "calibration_floor": round(cal_floor[0], 4),
+        "giant_doc": giant,
+        "dedup_scale": dedup_scale,
         "extraction": {
             "corpus_docs": n_docs,
             "corpus_spans": int(n_spans),

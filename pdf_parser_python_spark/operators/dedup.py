@@ -426,6 +426,18 @@ def ngram_jaccard(
     )
 
 
+def near_dup_planes_for(n_rows: int) -> int:
+    """Plane count for near-dup PAIR LISTING: target ~O(1) average
+    bucket occupancy (planes ≈ log2(n) + 2, clamped to [8, 30]) so the
+    bucket self-join emits candidates in proportion to true near-dup
+    density, not corpus size. :func:`lsh_planes_for`'s ~2⁸-per-bucket
+    target is the right shape for query-time top-k probing (candidates
+    per probe) but quadratic-prone for an all-pairs self-join."""
+    import math
+
+    return min(30, max(8, math.ceil(math.log2(max(n_rows, 2))) + 2))
+
+
 def lsh_planes_for(n_rows: int) -> int:
     """Corpus-scaled plane count: round 1's fixed 8 planes = 256
     buckets total, which degenerates to quadratic bucket self-joins at
@@ -475,7 +487,7 @@ def embedding_near_dups(
 
     dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
     if n_planes is None:
-        n_planes = lsh_planes_for(embeddings.count())
+        n_planes = near_dup_planes_for(embeddings.count())
     planes = hyperplanes(dim, n_planes)
     sig_expr = (
         _lsh_signature_udf(planes)(F.col(vec_col))
@@ -500,20 +512,29 @@ def embedding_near_dups(
         F.array(*[F.col("sig").bitwiseXOR(F.lit(1 << p))
                   for p in range(n_planes)]),
     )
-    exploded = sigs.select(
-        "vid", "vec", F.explode(probes).alias("bucket")
-    )
-    a, b = exploded.alias("a"), sigs.alias("b")
+    # slim candidate join (same rework as minhash_lsh_pairs): the
+    # self-join and pair dedup ship only (vid, bucket/sig) — the dim-
+    # wide vectors join back onto deduplicated pairs afterwards
+    exploded = sigs.select("vid", F.explode(probes).alias("bucket"))
+    a, b = exploded.alias("a"), sigs.select("vid", "sig").alias("b")
     cand = (
         a.join(b, (F.col("a.bucket") == F.col("b.sig"))
                & (F.col("a.vid") < F.col("b.vid")))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+        .join(
+            embeddings.select(F.col(id_col).alias("vec_a"),
+                              F.col(vec_col).alias("va")),
+            "vec_a",
+        )
+        .join(
+            embeddings.select(F.col(id_col).alias("vec_b"),
+                              F.col(vec_col).alias("vb")),
+            "vec_b",
+        )
     )
     cos = (
         _cosine_pair_udf()(F.col("va"), F.col("vb"))

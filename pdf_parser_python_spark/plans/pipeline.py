@@ -36,15 +36,22 @@ from ..operators.kernel import segment_kernel
 from ..operators.pkernel import parse_partition
 
 #: Giant-document dispatch threshold (spans per doc). The packed engines
-#: carry one document per Arrow row, so a pathological 10^7-span doc is
-#: one task — a stage-long straggler. Docs above this route to the
-#: chunked native engine (intra-doc parallel two-phase scan,
-#: operators/native.py) and union back in. ~1000× the P99 of real exam
-#: dumps; a doc under it parses in well under a second per core.
-GIANT_DOC_SPANS = 250_000
+#: carry one document per Arrow row, so a pathological doc is one task.
+#: Round-4 measurement (BENCH.md): decoding a packed giant row is
+#: inherently ONE scan task (~7.5s at 2M spans — more than the whole
+#: fused single-task parse at 9.3s), so rerouting merely-large docs
+#: can never win wall-clock; the r3 threshold of 250k was ~20× too
+#: low. Dispatch now engages only where the single task becomes a
+#: memory hazard and a material stage tail (≈25s+, ~0.5GB Arrow row);
+#: the reroute (operators/chunked.py: anchor-aligned chunks + the same
+#: vectorized kernel) bounds kernel memory per task and spreads
+#: everything after the serial scan. Documents this size should be
+#: split to span rows AT INGEST (chunked.span_chunk_projection), which
+#: keeps the scan itself parallel.
+GIANT_DOC_SPANS = 5_000_000
 
 #: offset-chunk width for rerouted giant docs (tasks/doc ≈ n_spans/this)
-GIANT_CHUNK = 25_000
+GIANT_CHUNK = 100_000
 
 
 def _doc_size(documents: DataFrame):
@@ -180,14 +187,15 @@ def _resolve_threshold(documents: DataFrame, kw: dict) -> int | None:
 
 
 def _parse_giant_final(big: DataFrame) -> DataFrame:
-    """Giant-doc branch: tokenize → chunked native FSM → finalize.
-    Every exchange keys on (doc_id, _chunk)/(doc_id, _seg), so one
-    document spreads over ~n_spans/GIANT_CHUNK tasks."""
-    from ..operators.native import parse_native
+    """Giant-doc branch: anchor-aligned chunking + the SAME vectorized
+    kernel as the main path (operators/chunked.py — r4 rework: the
+    previous chunked-native-FSM branch was measured ~15× slower than a
+    single vkernel task, so dispatch never won wall-clock). One hash
+    exchange on (doc_id, chunk); a giant document spreads over
+    ~n_spans/GIANT_CHUNK kernel rows."""
+    from ..operators.chunked import parse_giant_final
 
-    return _finalize.finalize_questions(
-        parse_native(tokenize(big), chunk_size=GIANT_CHUNK)
-    )
+    return parse_giant_final(big, chunk_spans=GIANT_CHUNK)
 
 
 def tokenize(documents: DataFrame) -> DataFrame:

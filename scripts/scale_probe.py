@@ -24,6 +24,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 # One Arrow compute thread per Python worker: pyarrow sizes its pool by
 # the MACHINE's cpu count (32), not the taskset mask, so a pinned
@@ -35,39 +36,10 @@ os.environ["OMP_NUM_THREADS"] = "1"
 
 
 def _calibrate(cores: int) -> float:
-    """Quiet-window detector: run `cores` concurrent single-thread
-    numpy dot workloads (GIL released) across the pinned core set and
-    return the slowest thread's wall. On a quiet window this is a tight
-    constant; a co-tenant burst on ANY pinned core inflates it. bench.py
-    samples it before and after each timed run and accepts the run only
-    when both sit near the observed floor."""
-    import threading
-    import time
+    """Quiet-window detector (shared impl: scripts/quiet.py)."""
+    from quiet import calibrate
 
-    import numpy as np
-
-    rng = np.random.default_rng(7)
-    a = rng.random(2_000_000)
-    walls = [0.0] * cores
-
-    def work(i: int) -> None:
-        # min of 2 reps per thread: a sub-20ms scheduler hiccup must not
-        # reject the window — only sustained co-tenant load should
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            s = 0.0
-            for _ in range(12):
-                s += float(np.dot(a, a))
-            best = min(best, time.perf_counter() - t0)
-        walls[i] = best
-
-    ts = [threading.Thread(target=work, args=(i,)) for i in range(cores)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join()
-    return max(walls)
+    return calibrate(cores)
 
 
 def main() -> None:

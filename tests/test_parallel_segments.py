@@ -212,3 +212,70 @@ def test_chunk_boundary_mid_question_sections_survive(spark):
         assert q.options[0]["text"] == "first more option text", cs
         assert q.options[0]["images"] == ["img://x"], cs
         assert q.answer_text == "A" and q.explanation_text == "why", cs
+
+
+def test_chunked_vkernel_equals_whole_doc(spark):
+    """operators/chunked.py: anchor-aligned chunked parse must be ROW-
+    EQUAL to the whole-document vectorized parse on the fault-injected
+    generator corpus (covers cover-noise heads, solo artifacts,
+    hotspots, images, preamble skip)."""
+    from pdf_parser_python_spark import schema as S
+    from pdf_parser_python_spark.operators import chunked
+    from pdf_parser_python_spark.plans import pipeline
+    from pdf_parser_python_spark.sources.spans import generate_doc_spans
+
+    corpus = [
+        (f"g-{i:03d}", generate_doc_spans(7000 + i, mean_questions=20))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(corpus, schema=S.DOCUMENT_SPANS_EXT)
+    whole = pipeline.extract_questions(df, giant_doc_spans=None)
+    chunk = chunked.parse_giant_final(df, chunk_spans=7)  # many chunks
+
+    key = lambda r: (r["doc_id"], r["seq"])
+    a = {key(r): r.asDict(recursive=True) for r in whole.collect()}
+    b = {key(r): r.asDict(recursive=True) for r in chunk.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])
+
+
+def test_chunked_dispatch_end_to_end(spark):
+    """extract_* auto-dispatch with the chunked-vkernel giant branch:
+    a synthetic giant doc + normal corpus must equal the undispatched
+    parse."""
+    from pdf_parser_python_spark import schema as S
+    from pdf_parser_python_spark.plans import pipeline
+    from pdf_parser_python_spark.sources.spans import generate_doc_spans
+
+    corpus = [
+        (f"n-{i:02d}", generate_doc_spans(100 + i, mean_questions=6))
+        for i in range(10)
+    ]
+    giant_spans = []
+    off = 0
+    for q in range(400):
+        for line in (f"Question: {q + 1}", "body line", "A. one",
+                     "B. two", "Answer: B"):
+            giant_spans.append(
+                {"kind": "text", "text": line, "media_ref": "",
+                 "offset": off, "page": 1 + off // 50}
+            )
+            off += 1
+    corpus.append(("zz-giant", giant_spans))
+    df = spark.createDataFrame(corpus, schema=S.DOCUMENT_SPANS_EXT)
+
+    import pdf_parser_python_spark.plans.pipeline as P
+    old = P.GIANT_DOC_SPANS
+    P.GIANT_DOC_SPANS = 500  # force the giant branch for zz-giant
+    P._GIANT_PROBE_CACHE.clear()
+    try:
+        auto = pipeline.extract_flat_spans(df)
+        plain = pipeline.extract_flat_spans(df, giant_doc_spans=None)
+        key = lambda r: tuple(r)
+        assert sorted(map(key, auto.collect())) == sorted(
+            map(key, plain.collect())
+        )
+    finally:
+        P.GIANT_DOC_SPANS = old
+        P._GIANT_PROBE_CACHE.clear()
