@@ -155,7 +155,11 @@ def _giant_phase(spark, corpus_docs) -> dict:
         )
     gd = spark.read.parquet(GIANT_CORPUS)
     span_rows = spark.read.parquet(rows_dir)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from quiet import calibrate
+
     walls = {}
+    calibs = {}
     for tag, fn in (
         ("packed_default", lambda: pipeline.extract_flat_spans(gd)),
         ("packed_forced_dispatch",
@@ -163,7 +167,16 @@ def _giant_phase(spark, corpus_docs) -> dict:
         ("span_rows_chunked_kernel",
          lambda: chunked.parse_span_rows_final(span_rows, 100_000)),
     ):
-        walls[tag] = round(min(run_to_noop(fn()) for _ in range(2)), 3)
+        # calibration-bracketed best-of-3: single giant-doc walls swing
+        # up to 6× with co-tenant bursts on this shared host
+        samples = []
+        for _ in range(3):
+            c1 = calibrate(CPUS)
+            w = run_to_noop(fn())
+            samples.append((w, max(c1, calibrate(CPUS))))
+        best_w, best_c = min(samples)
+        walls[tag] = round(best_w, 3)
+        calibs[tag] = round(best_c, 4)
     # row-equality spot check: chunked span-row parse vs packed parse
     n_chunked = chunked.parse_span_rows_final(span_rows, 100_000).count()
     n_packed = (
@@ -173,6 +186,7 @@ def _giant_phase(spark, corpus_docs) -> dict:
     return {
         "giant_doc_spans": GIANT_SPANS,
         "walls_sec": walls,
+        "walls_calibration": calibs,
         "giant_questions_span_rows": n_chunked,
         "giant_questions_packed": n_packed,
         "rows_equal": n_chunked == n_packed,

@@ -35,7 +35,8 @@ def test_packed_engine_zero_shuffle(spark):
 def test_default_dispatch_probe_and_forced_union(spark):
     """Default (auto) dispatch: a giant-free corpus gets the pure
     packed plan (probe says no outliers → no union overhead); a forced
-    threshold builds the union with a chunk-keyed native branch."""
+    threshold builds the union with the anchor-chunked vectorized
+    branch keyed on (doc_id, chunk)."""
     d = _docs(spark)
     p_auto = _plan(pipeline.extract_flat_spans(d))
     assert "MapInArrow" in p_auto and "Union" not in p_auto
@@ -46,7 +47,12 @@ def test_default_dispatch_probe_and_forced_union(spark):
     import re as _re
 
     parts = _re.findall(r"hashpartitioning\(([^)]*)\)", p)
-    assert any("_chunk" in x for x in parts), parts
+    assert any(
+        "doc_id" in x and "chunk" in x for x in parts
+    ), parts  # giant branch re-packs pseudo-docs on (doc_id, chunk)
+    # the giant branch uses the SAME vectorized kernel (two MapInArrow
+    # stages in the union), not the window-cascade native engine
+    assert p.count("MapInArrow") == 2
 
 
 def test_partition_engine_single_shuffle_filters_below_barrier(spark):
