@@ -140,8 +140,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = pipeline.extract_questions(docs)
         return envelope.exam_envelope(docs, qs)
 
+    def extract_questions_chunked(spark, sf):
+        # the giant-doc branch (operators/chunked.py: anchor-aligned
+        # chunking + the same vectorized kernel) forced onto every doc
+        # via a tiny chunk width — hash-checked against the SAME
+        # extraction oracle, proving chunk-boundary equivalence in the
+        # driver gate, not just in pytest
+        _ensure_shipped(spark)
+        from pdf_parser_python_spark.operators import chunked
+
+        return chunked.parse_giant_final(
+            _spans_table(spark, sf), chunk_spans=16
+        ).select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "anomaly_score",
+        )
+
     q["extract_questions"] = extract_questions
     q["extract_questions_native"] = extract_questions_native
+    q["extract_questions_chunked"] = extract_questions_chunked
     q["extract_flat_spans"] = extract_flat_spans
     q["extract_validation"] = extract_validation
     q["extract_rescan"] = extract_rescan
@@ -616,6 +633,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash
 
+    # — same operator, Arrow-batched majority vote (the scale path):
+    #   hash-checked against the SAME DuckDB oracle —
+    def dedup_simhash_vec(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.dedup import simhash_near_dups
+
+        d = _docs(spark, sf, "documents")
+        mut = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+        both = d.select("doc_id", "text").unionByName(mut)
+        return simhash_near_dups(both, max_hamming=3, hasher=md5_64,
+                                 vectorized=True)
+
+    q["dedup_simhash_vec"] = dedup_simhash_vec
+
+    # — linear-output near-dup clustering (star edges + 3 pointer
+    #   jumps; fixed iterations → exactly SQL-expressible) —
+    def dedup_clusters(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.dedup import (
+            minhash_dedup_clusters,
+        )
+
+        d = _docs(spark, sf, "documents")
+        mut = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing edit token"))
+            .alias("text"),
+        )
+        both = d.select("doc_id", "text").unionByName(mut)
+        return minhash_dedup_clusters(both, k=32, bands=16, hasher=md5_64)
+
+    q["dedup_clusters"] = dedup_clusters
+
     # — training-data: embedding-cosine near-dup pairs (deterministic
     #   hyperplanes, embedded as literals in the oracle SQL) —
     def dedup_embedding(spark, sf):
@@ -634,6 +687,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding"] = dedup_embedding
 
+    def dedup_embedding_vec(spark, sf):
+        from pdf_parser_python_spark.operators.dedup import embedding_near_dups
+
+        emb = _docs(spark, sf, "embeddings")
+        twin = emb.where(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        return embedding_near_dups(
+            emb.select("vec_id", "embedding").unionByName(twin),
+            threshold=0.99, n_planes=8, vectorized=True,
+        )
+
+    q["dedup_embedding_vec"] = dedup_embedding_vec
+
     # — training-data: LSH-bucketed ANN (oracled; exact-score rerank) —
     def sim_lsh_topk(spark, sf):
         from pdf_parser_python_spark.operators.similarity import lsh_bucket_topk
@@ -651,6 +718,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         n_cells=8, n_probe=3, hasher=md5_64)
 
     q["sim_ivf_topk"] = sim_ivf_topk
+
+    def sim_lsh_topk_vec(spark, sf):
+        from pdf_parser_python_spark.operators.similarity import lsh_bucket_topk
+
+        return lsh_bucket_topk(_docs(spark, sf, "embeddings"), 0, k=10,
+                               vectorized=True)
+
+    q["sim_lsh_topk_vec"] = sim_lsh_topk_vec
+
+    def sim_ivf_topk_vec(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(_docs(spark, sf, "embeddings"), 0, k=10,
+                        n_cells=8, n_probe=3, hasher=md5_64,
+                        vectorized=True)
+
+    q["sim_ivf_topk_vec"] = sim_ivf_topk_vec
 
     # — multimodal plumbing, now fully oracled: md5 feature hasher +
     #   hex digest (DuckDB-reproducible), decode off (environment-
@@ -737,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         #   spans input (functions/oracle.py) —
         "extract_questions": _oracle.extract_questions_sql(),
         "extract_questions_native": _oracle.extract_questions_sql(),
+        "extract_questions_chunked": _oracle.extract_questions_sql(),
         "extract_flat_spans": _oracle.extract_flat_spans_sql(),
         "extract_validation": _oracle.extract_validation_sql(),
         "extract_rescan": _oracle.extract_rescan_sql(),
@@ -745,9 +831,14 @@ def oracle_sql() -> dict[str, str]:
         #   hyperplane/centroid constants, functions/oracle.py) —
         "dedup_minhash": _oracle.dedup_minhash_sql(),
         "dedup_simhash": _oracle.dedup_simhash_sql(),
+        "dedup_simhash_vec": _oracle.dedup_simhash_sql(),
+        "dedup_clusters": _oracle.dedup_clusters_sql(),
         "dedup_embedding": _oracle.dedup_embedding_sql(),
+        "dedup_embedding_vec": _oracle.dedup_embedding_sql(),
         "sim_lsh_topk": _oracle.sim_lsh_topk_sql(),
+        "sim_lsh_topk_vec": _oracle.sim_lsh_topk_sql(),
         "sim_ivf_topk": _oracle.sim_ivf_topk_sql(),
+        "sim_ivf_topk_vec": _oracle.sim_ivf_topk_sql(),
         # — multimodal features: corpus is a pure function of the index,
         #   synthesized in SQL over range(0,64) (functions/oracle.py) —
         "media_features": _oracle.media_features_sql(),

@@ -350,6 +350,45 @@ WHERE round(len(list_filter(range(1, {k}+1), p -> sig_a[p] = sig_b[p]))
             / {k}.0, 4) >= {threshold}"""
 
 
+def dedup_clusters_sql(k: int = 32, bands: int = 16) -> str:
+    """minhash_dedup_clusters (operators/dedup.py): star edges to each
+    band bucket's min doc_id, then 3 pointer-jumping hops — the fixed
+    iteration count makes the 'iterative' algorithm exactly
+    SQL-expressible as 3 self-joins (l_{i+1}(x) = l_i(l_i(x)))."""
+    rpb = k // bands
+    h_shingle = md5_64_sql("s", "j::VARCHAR")
+    band_key = " || ':' || ".join(
+        f"sig[b*{rpb}+{r}+1]::VARCHAR" for r in range(rpb)
+    )
+    h_band = md5_64_sql(band_key, 0)
+    return f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' trailing edit token' FROM documents),
+sh AS (
+    SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_TOKS_L} AS toks FROM corpus)),
+sigs AS (
+    SELECT doc_id,
+           list_transform(range(0, {k}), j ->
+               list_min(list_transform(sh, s -> {h_shingle}))) AS sig
+    FROM sh),
+bkts AS (
+    SELECT doc_id, b, {h_band} AS bucket
+    FROM sigs, (SELECT unnest(range(0, {bands})) AS b)),
+bmin AS (
+    SELECT b, bucket, min(doc_id) AS bm
+    FROM bkts GROUP BY b, bucket HAVING count(*) > 1),
+l0 AS (
+    SELECT k.doc_id, min(bm) AS rep
+    FROM bkts k JOIN bmin USING (b, bucket) GROUP BY k.doc_id),
+l1 AS (SELECT a.doc_id, b.rep FROM l0 a JOIN l0 b ON a.rep = b.doc_id),
+l2 AS (SELECT a.doc_id, b.rep FROM l1 a JOIN l1 b ON a.rep = b.doc_id),
+l3 AS (SELECT a.doc_id, b.rep FROM l2 a JOIN l2 b ON a.rep = b.doc_id)
+SELECT doc_id, rep AS cluster_rep FROM l3"""
+
+
 def media_features_sql(n: int = 64, dim: int = 16) -> str:
     """Multimodal feature extraction (operators/media.py): the
     synthetic media corpus is a pure function of its index, so the
