@@ -99,3 +99,31 @@ def test_fixture_question_fields(spark, fdir):
         assert r.page_end == e["page_end"]
         assert r.anomaly_score == e["anomaly_score"]
         assert [a.type for a in r.anomalies] == [a["type"] for a in e["anomalies"]]
+
+
+@pytest.mark.parametrize("fdir", fixture_dirs(), ids=lambda d: os.path.basename(d))
+def test_fixture_chunked_engine_parity(spark, fdir):
+    """The anchor-chunked giant-doc branch (operators/chunked.py) must
+    match the LIVE reference FSM on every golden fixture, with the
+    chunk width forced tiny so real chunk boundaries occur."""
+    from pdf_parser_python_spark.operators import chunked
+
+    docs = sources.load_fixture(spark, fdir)
+    rows = (
+        chunked.parse_giant_final(docs, chunk_spans=5)
+        .orderBy("seq").collect()
+    )
+    expected = _expected_questions(fdir)
+    assert len(rows) == len(expected)
+    for r, e in zip(rows, expected):
+        assert r.question_number == e["question_number"]
+        assert r.question_text == e["question_text"]
+        assert r.answer_text == e["answer_text"]
+        assert r.explanation_text == e["explanation_text"]
+        assert [o.asDict() for o in r.options] == [
+            {k: o[k] for k in ("key", "text", "is_correct", "images")}
+            for o in e["options"]
+        ]
+        assert r.page_start == e["page_start"]
+        assert r.page_end == e["page_end"]
+        assert r.anomaly_score == e["anomaly_score"]
