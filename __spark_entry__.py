@@ -5,12 +5,15 @@ deterministically from ``sf0.001/documents.parquet`` (native Column
 ops only, BASELINE.json input_hint shape).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (+ training-data ops). All 41 queries carry a full
+from SURVEY.md §2 (+ training-data ops). All 47 queries carry a full
 DuckDB oracle, INCLUDING the stateful-FSM extraction queries (the FSM
 decomposes into window cumsums + ordered string_agg —
-functions/oracle.py), the dedup/ANN family (md5-derived pluggable
-hashing — functions/hashing.py), and media_features (synthetic media
-corpus materialized to parquet, features recomputed in SQL).
+functions/oracle.py), the anchor-chunked giant-doc engine (checked
+against the same FSM oracle), the dedup/ANN family and its vectorized
+twins (md5-derived pluggable hashing — functions/hashing.py), near-dup
+cluster assignment (3 pointer jumps = 3 SQL self-joins), and
+media_features (synthetic media corpus materialized to parquet,
+features recomputed in SQL).
 """
 
 from __future__ import annotations

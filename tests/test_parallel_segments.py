@@ -279,3 +279,64 @@ def test_chunked_dispatch_end_to_end(spark):
     finally:
         P.GIANT_DOC_SPANS = old
         P._GIANT_PROBE_CACHE.clear()
+
+
+def test_chunked_vs_reference_random_compositions(spark):
+    """Batched differential for the chunked engine: random adversarial
+    line compositions (the fuzz WORDS pool: anchor lookalikes, solo
+    artifacts, cover noise, unicode dialect torture) parsed with
+    chunk_spans=3 — splits at nearly every safe anchor — must match the
+    LIVE reference FSM question-for-question."""
+    import random
+
+    from pdf_parser_python_spark import schema as S
+    from pdf_parser_python_spark.operators import chunked
+
+    from .oracle import run_reference
+    from .test_fuzz import WORDS
+
+    pool = WORDS.elements  # the sampled_from value list
+    rng = random.Random(0xC41C)
+    docs, expected = [], {}
+    for d in range(120):
+        spans = []
+        page = 1
+        for off in range(rng.randint(4, 36)):
+            if rng.random() < 0.12:
+                spans.append({"kind": "image", "text": "",
+                              "media_ref": f"img/{d}/{off}",
+                              "offset": off, "page": page})
+            else:
+                lines = [
+                    " ".join(rng.choice(pool)
+                             for _ in range(rng.randint(1, 3)))
+                    for _ in range(rng.randint(1, 3))
+                ]
+                spans.append({"kind": "text", "text": "\n".join(lines),
+                              "media_ref": "", "offset": off,
+                              "page": page})
+            if rng.random() < 0.15:
+                page += 1
+        doc_id = f"rc-{d:03d}"
+        docs.append((doc_id, spans))
+        expected[doc_id] = run_reference(spans)
+
+    df = spark.createDataFrame(docs, schema=S.DOCUMENT_SPANS_EXT)
+    got: dict[str, list] = {d: [] for d, _ in docs}
+    for r in chunked.parse_giant_final(df, chunk_spans=3).collect():
+        got[r.doc_id].append(r)
+    for doc_id, exp in expected.items():
+        rows = sorted(got[doc_id], key=lambda r: r.seq)
+        assert len(rows) == len(exp), doc_id
+        for r, e in zip(rows, exp):
+            assert r.question_number == e["question_number"], doc_id
+            assert r.question_text == e["question_text"], doc_id
+            assert r.answer_text == e["answer_text"], doc_id
+            assert r.explanation_text == e["explanation_text"], doc_id
+            assert [o.asDict() for o in r.options] == [
+                {k: o[k] for k in ("key", "text", "is_correct", "images")}
+                for o in e["options"]
+            ], doc_id
+            assert r.page_start == e["page_start"], doc_id
+            assert r.page_end == e["page_end"], doc_id
+            assert r.anomaly_score == e["anomaly_score"], doc_id
