@@ -2,11 +2,15 @@
 columns with typed metadata.
 
 The Spark-side machinery — schema, batch shape, partition sizing, UDF
-signatures — is real and tested; the actual codec work is stubbed
-behind :data:`HAVE_CODECS` because image/audio libraries are not in
-this container (the reference's equivalent stage is PyMuPDF xref
-extraction, /root/reference/parser/block_extractor.py:234-357, which
-is likewise unavailable here).
+signatures — is real and tested. Decode (r4): uncompressed 24/32-bit
+BMP decodes with the dependency-free numpy decoder (:func:`decode_bmp`
+— REAL pixels, exercised by non-skipped tests over
+:func:`synthetic_bmp_media`); other formats route to PIL when present
+(:data:`HAVE_CODECS` — no imaging library is installable in this
+container, BENCH.md environment notes) and otherwise fall back to the
+deterministic payload-hash featurization. The reference's equivalent
+stage is PyMuPDF xref extraction
+(/root/reference/parser/block_extractor.py:234-357).
 
 Design notes for 100 TB:
 - binary payloads ride in their own column so Parquet page pruning
@@ -76,6 +80,34 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_bmp_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic VALID-BMP media table: real decodable payloads
+    (seeded gradient + block patterns) so ``extract_features(
+    decode=True)`` exercises the actual decode path in this container."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w = 16 + (i * 7) % 48
+        h = 12 + (i * 5) % 40
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = ((xx * (17 + i) + yy * (29 + 3 * i)) % 256).astype(np.uint8)
+        if i % 4 == 0:  # high-contrast half/half block
+            px = np.zeros((h, w), dtype=np.uint8)
+            px[:, w // 2:] = 255
+        rows.append(
+            (
+                f"bmp://syn/{i}",
+                "image",
+                bytearray(encode_bmp(px)),
+                w,
+                h,
+                None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def size_filter(media: DataFrame, min_w: int = 50, min_h: int = 50) -> DataFrame:
     """F4: drop tiny images (reference block_extractor.py:289-293);
     non-image rows pass through."""
@@ -131,6 +163,95 @@ def _shannon_entropy(b: bytes) -> float:
     return -sum(
         (c / n) * math.log2(c / n) for c in counts.values()
     ) / 8.0
+
+
+def encode_bmp(pixels) -> bytes:
+    """Serialize a (h, w) uint8 grayscale array as a standard 24-bit
+    uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR, 4-byte row
+    padding) — used by the synthetic corpus so the REAL decode path is
+    exercisable without any imaging library."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    data_size = row_bytes * h
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    bgr = np.repeat(px[:, :, None], 3, axis=2)  # gray → B=G=R
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    body = rows[::-1].tobytes()  # bottom-up
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + data_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + body
+
+
+def decode_bmp(b: bytes):
+    """Dependency-free decoder for uncompressed 24/32-bit BMP → (h, w)
+    float grayscale in [0, 1] (ITU-R 601 luma), or None if the payload
+    is not such a BMP. The real decode path for this container, where
+    no imaging library is installable (BENCH.md environment notes);
+    other formats route to PIL when present, else the hash fallback."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    try:
+        data_off = struct.unpack_from("<I", b, 10)[0]
+        hdr_size = struct.unpack_from("<I", b, 14)[0]
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", b, 18)
+        planes, bpp = struct.unpack_from("<HH", b, 26)
+        comp = struct.unpack_from("<I", b, 30)[0]
+        if planes != 1 or bpp not in (24, 32) or comp != 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h <= 0 or w * h > 64_000_000:
+            return None
+        nch = bpp // 8
+        row_bytes = (w * nch + 3) & ~3
+        if data_off + row_bytes * h > len(b):
+            return None
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_bytes * h, offset=data_off
+        ).reshape(h, row_bytes)
+        if not top_down:
+            rows = rows[::-1]
+        px = rows[:, : w * nch].reshape(h, w, nch).astype(np.float64)
+        # BGR(A) → luma
+        gray = (
+            0.114 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.299 * px[:, :, 2]
+        )
+        return gray / 255.0
+    except Exception:
+        return None
+
+
+def _grid_features(gray, feature_dim: int) -> list[float]:
+    """Mean intensity per cell of a side×side grid (row-major, padded/
+    trimmed to feature_dim) — the same feature semantics as the PIL
+    resize path."""
+    import numpy as np
+
+    side = max(1, int(feature_dim ** 0.5))
+    h, w = gray.shape
+    ys = (np.arange(side + 1) * h) // side
+    xs = (np.arange(side + 1) * w) // side
+    feats = []
+    for r in range(side):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        for c in range(side):
+            x0, x1 = xs[c], max(xs[c + 1], xs[c] + 1)
+            feats.append(float(gray[y0:y1, x0:x1].mean()))
+    return (feats + [0.0] * feature_dim)[:feature_dim]
 
 
 def _pil_features(b: bytes, feature_dim: int) -> list[float] | None:
@@ -195,11 +316,13 @@ def extract_features(
                 b = bytes(payload or b"")
                 digest_src = b.hex().encode() if digest_over == "hex" else b
                 sha = hashlib.sha256(digest_src).hexdigest()
-                feats = (
-                    _pil_features(b, feature_dim)
-                    if (decode and HAVE_CODECS)
-                    else None
-                )
+                feats = None
+                if decode:
+                    gray = decode_bmp(b)  # dependency-free real decode
+                    if gray is not None:
+                        feats = _grid_features(gray, feature_dim)
+                    elif HAVE_CODECS:
+                        feats = _pil_features(b, feature_dim)
                 if feats is None:
                     feats = fallback(b, feature_dim)
                 out.append((ref, sha, len(b), _shannon_entropy(b), feats))
