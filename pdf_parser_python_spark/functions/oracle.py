@@ -352,9 +352,13 @@ WHERE round(len(list_filter(range(1, {k}+1), p -> sig_a[p] = sig_b[p]))
 
 def dedup_clusters_sql(k: int = 32, bands: int = 16) -> str:
     """minhash_dedup_clusters (operators/dedup.py): star edges to each
-    band bucket's min doc_id, then 3 pointer-jumping hops — the fixed
-    iteration count makes the 'iterative' algorithm exactly
-    SQL-expressible as 3 self-joins (l_{i+1}(x) = l_i(l_i(x)))."""
+    band bucket's min doc_id, then pointer-jumping squarings
+    (l_{i+1}(x) = l_i(l_i(x))) unrolled to 5 levels = chains of 2^5=32
+    hops. The Spark side now iterates to the true fixpoint; squaring
+    is idempotent once converged, so the unroll depth only needs to
+    EXCEED the corpus's chain depth (bucket-star graphs at sf0.01
+    converge in ≤3 squarings — 32 hops is a wide margin, and a deeper
+    corpus would fail the gate loudly rather than silently agree)."""
     rpb = k // bands
     h_shingle = md5_64_sql("s", "j::VARCHAR")
     band_key = " || ':' || ".join(
@@ -385,8 +389,10 @@ l0 AS (
     FROM bkts k JOIN bmin USING (b, bucket) GROUP BY k.doc_id),
 l1 AS (SELECT a.doc_id, b.rep FROM l0 a JOIN l0 b ON a.rep = b.doc_id),
 l2 AS (SELECT a.doc_id, b.rep FROM l1 a JOIN l1 b ON a.rep = b.doc_id),
-l3 AS (SELECT a.doc_id, b.rep FROM l2 a JOIN l2 b ON a.rep = b.doc_id)
-SELECT doc_id, rep AS cluster_rep FROM l3"""
+l3 AS (SELECT a.doc_id, b.rep FROM l2 a JOIN l2 b ON a.rep = b.doc_id),
+l4 AS (SELECT a.doc_id, b.rep FROM l3 a JOIN l3 b ON a.rep = b.doc_id),
+l5 AS (SELECT a.doc_id, b.rep FROM l4 a JOIN l4 b ON a.rep = b.doc_id)
+SELECT doc_id, rep AS cluster_rep FROM l5"""
 
 
 def media_features_sql(n: int = 64, dim: int = 16) -> str:
@@ -595,6 +601,62 @@ cand AS (
     SELECT s.vec_id, s.v, p.qv
     FROM sigs s JOIN probes p ON s.sig = p.bucket
     WHERE s.vec_id <> 0),
+scored AS (
+    SELECT vec_id, {_cos('v', 'qv', dim)} AS raw FROM cand)
+SELECT (row_number() OVER (ORDER BY raw DESC, vec_id))::INT AS rank,
+       vec_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, vec_id LIMIT {k}"""
+
+
+def sim_lsh_topk_mp_sql(dim: int = 64, n_planes: int = 8,
+                        n_tables: int = 2, probe_t: int = 4,
+                        k: int = 10) -> str:
+    """Multi-table + query-directed multiprobe LSH ANN
+    (similarity.lsh_bucket_topk(n_tables, probe_t)). The Spark side
+    enumerates probe buckets and equi-joins (the scale shape); the
+    oracle uses the equivalent PREDICATE form — a vector is a candidate
+    iff, in some table, its signature differs from the query's in ≤1
+    bit (radius-1 probes) or only in bits belonging to the probe_t
+    planes with smallest |query·plane| (the 2^t sign combos). Identical
+    candidate sets by construction, and the exact rerank makes the
+    result depend on nothing else."""
+    from ..operators.similarity import _LSH_SEED, hyperplanes
+
+    tables = [hyperplanes(dim, n_planes, _LSH_SEED + li)
+              for li in range(n_tables)]
+    sig_cols = ", ".join(
+        f"{_sig_expr(tables[li], 'v', dim)} AS sig{li}"
+        for li in range(n_tables)
+    )
+    mask_cols = []
+    for li in range(n_tables):
+        ds = ", ".join(
+            "{'a': abs(list_sum(list_transform(range(1, %d), "
+            "i -> qv[i] * (%s)[i]))), 'p': %d}"
+            % (dim + 1, _plane_lit(plane), p)
+            for p, plane in enumerate(tables[li])
+        )
+        mask_cols.append(
+            f"list_sum(list_transform((list_sort([{ds}]))[1:{probe_t}], "
+            f"x -> (1::BIGINT << x.p))) AS selmask{li}"
+        )
+    hit = " OR ".join(
+        f"(bit_count(xor(s.sig{li}, m.qsig{li})) <= 1 "
+        f"OR (xor(s.sig{li}, m.qsig{li}) & ~m.selmask{li}) = 0)"
+        for li in range(n_tables)
+    )
+    qsig_cols = ", ".join(f"sig{li} AS qsig{li}" for li in range(n_tables))
+    return f"""
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings),
+sigs AS (SELECT vec_id, v, {sig_cols} FROM vecs),
+q AS (SELECT v AS qv, {qsig_cols} FROM sigs WHERE vec_id = 0),
+m AS (SELECT *, {', '.join(mask_cols)} FROM q),
+cand AS (
+    SELECT s.vec_id, s.v, m.qv
+    FROM sigs s, m
+    WHERE s.vec_id <> 0 AND ({hit})),
 scored AS (
     SELECT vec_id, {_cos('v', 'qv', dim)} AS raw FROM cand)
 SELECT (row_number() OVER (ORDER BY raw DESC, vec_id))::INT AS rank,

@@ -94,7 +94,14 @@ def span_chunk_projection(
     ~7.5s at 2M spans — more than the whole single-task fused parse),
     so at 100 TB, split pathological documents into span rows (or
     sub-row chunks) AT INGEST and this projection gives the kernel
-    full-cluster parallelism end to end."""
+    full-cluster parallelism end to end.
+
+    ``offset`` need only be UNIQUE per doc and order-defining — it
+    does NOT have to be dense 0..n-1. Byte/char offsets, or gaps left
+    by upstream filtering, are fine: the chunk bucket table is sized
+    from max(offset), so every span's bucket exists (chunk width is
+    then measured in offset units, with ≥``chunk_spans`` offset units
+    per chunk and ≤MAX_CHUNKS chunks per doc either way)."""
     has_page = "page" in span_rows.columns
     ex = span_rows.select(
         "doc_id", "kind", "text", "media_ref",
@@ -103,9 +110,14 @@ def span_chunk_projection(
         .alias("page"),
     )
 
-    # per-doc chunk width: ≥chunk_spans, and ≤MAX_CHUNKS chunks/doc
+    # per-doc chunk width: ≥chunk_spans, and ≤MAX_CHUNKS chunks/doc.
+    # n = max(offset)+1, NOT count(*): bucket keys downstream are
+    # offset/width, so the bucket table must span the offset RANGE —
+    # sizing it from the row count silently drops spans whose offset
+    # exceeds the count when offsets are non-dense (byte offsets,
+    # filtered gaps). Dense 0..n-1 inputs are unchanged: max+1 == n.
     meta = ex.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n")
+        (F.max("offset") + 1).cast("long").alias("n")
     ).select(
         "doc_id", "n",
         F.greatest(
@@ -122,7 +134,13 @@ def packed_chunk_projection(big: DataFrame, chunk_spans: int) -> DataFrame:
     bounds kernel memory and the post-scan stage tail, not scan time."""
     spark = big.sparkSession
     has_page = "page" in big.schema["spans"].dataType.elementType.names
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # platforms set this conf to "auto" (AQE-managed); any
+        # reasonable fan-out works here — it only spreads the regex
+        # flag evaluation — so fall back to the cluster default
+        shuffle_n = spark.sparkContext.defaultParallelism
 
     s = F.explode("spans").alias("s")
     ex = big.select("doc_id", s).select(
@@ -138,14 +156,20 @@ def packed_chunk_projection(big: DataFrame, chunk_spans: int) -> DataFrame:
     # BEFORE the regex flag evaluation so it runs on every core
     ex = ex.repartition(shuffle_n)
 
-    # per-doc chunk width: ≥chunk_spans, and ≤MAX_CHUNKS chunks/doc
+    # per-doc chunk width: ≥chunk_spans, and ≤MAX_CHUNKS chunks/doc.
+    # n = max(offset)+1 (not array size) for the same non-dense-offset
+    # reason as span_chunk_projection: bucket keys are offset/width.
+    n_expr = (
+        F.array_max(F.transform("spans", lambda s: s["offset"]))
+        .cast("long") + 1
+    )
     meta = big.select(
         "doc_id",
         F.greatest(
             F.lit(chunk_spans),
-            F.ceil(F.size("spans") / MAX_CHUNKS),
+            F.ceil(n_expr / MAX_CHUNKS),
         ).cast("long").alias("width"),
-        F.size("spans").cast("long").alias("n"),
+        n_expr.alias("n"),
     )
     return _chunk_and_pack(ex, meta, has_page)
 

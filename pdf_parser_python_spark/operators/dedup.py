@@ -200,7 +200,7 @@ def minhash_dedup_clusters(
     bands: int = 8,
     shingle_k: int = 3,
     hasher: Hasher = xx64,
-    n_iter: int = 3,
+    n_iter: int | None = None,
 ) -> DataFrame:
     """Scalable near-dup CLUSTER ASSIGNMENT — the linear-output
     alternative to pair listing for mass-duplicate corpora.
@@ -210,12 +210,21 @@ def minhash_dedup_clusters(
     but the honest pair listing is still O(m·cap). Cluster assignment
     needs only O(m·bands) star edges: every doc links to the MIN
     doc_id of each band bucket it lands in (a groupBy-min — linear, no
-    self-join, so NO bucket cap is needed), then ``n_iter`` rounds of
-    pointer jumping (label ← label[label], resolving chains of length
-    2^n_iter; bucket-star graphs have tiny diameter) collapse
-    transitive chains onto one representative. Deterministic at any
-    partitioning; labels only ever decrease, so extra iterations are
-    idempotent at the fixpoint.
+    self-join, so NO bucket cap is needed), then pointer-jumping
+    rounds (label ← label[label], each round SQUARING the resolved
+    chain length) collapse transitive chains onto one representative.
+    Deterministic at any partitioning; labels only ever decrease, so
+    extra iterations are idempotent at the fixpoint.
+
+    ``n_iter=None`` (default) iterates until the labels stop changing
+    — a guaranteed fixpoint (labels strictly decrease while any row
+    changes; ≤ log2(longest chain) squarings, so the convergence
+    check costs a handful of cheap jobs on an already-persisted
+    frame). Pass an int to force exactly that many squarings (the old
+    SQL-expressible contract: resolves chains up to 2^n_iter hops,
+    and components deeper than that get INCONSISTENT reps — only use
+    a fixed count when an external oracle must replicate the plan
+    hop-for-hop).
 
     Returns (doc_id, cluster_rep) for every document sharing at least
     one band bucket with another document (singletons are excluded —
@@ -236,17 +245,44 @@ def minhash_dedup_clusters(
         .groupBy("doc_id")
         .agg(F.min("bmin").alias("rep"))
     )
-    for _ in range(n_iter):
+
+    def hop_once(lab: DataFrame) -> DataFrame:
         # rep's own label exists (rep sits in its own >1 bucket) and is
         # ≤ rep, so the join is inner and labels decrease monotonically
-        hop = labels.select(
+        hop = lab.select(
             F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
         )
-        labels = (
-            labels.join(hop, "rep")
-            .select("doc_id", F.col("rep2").alias("rep"))
+        return lab.join(hop, "rep").select(
+            "doc_id", F.col("rep").alias("_old"),
+            F.col("rep2").alias("rep"),
         )
-    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+
+    if n_iter is not None:
+        for _ in range(n_iter):
+            labels = hop_once(labels).drop("_old")
+        return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+
+    # converge: squaring halves the unresolved chain every round, so
+    # 20 rounds covers chains of 2^20 hops — far beyond any bucket-star
+    # graph; the cap only guards against a logic bug looping forever
+    labels = labels.persist()
+    prev = labels
+    for _ in range(20):
+        nxt = hop_once(labels).persist()
+        # count() (not isEmpty) so nxt is FULLY materialized into the
+        # persist before the previous iteration's cache is dropped
+        converged = (
+            nxt.where(F.col("rep") != F.col("_old")).count() == 0
+        )
+        labels = nxt.drop("_old")
+        prev.unpersist()
+        prev = nxt
+        if converged:
+            break
+    out = labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+    # materialization already happened via isEmpty(); hand the caller a
+    # plan rooted at the persisted fixpoint
+    return out
 
 
 def simhash(col: Column, bits: int = 64, hasher: Hasher = xx64) -> Column:
@@ -282,12 +318,19 @@ def _simhash_majority_udf():
     — measured at 100k docs it is the dominant cost of
     simhash_near_dups; this Arrow-batched kernel computes all 64
     counts in one reduceat. Bit-identical to :func:`simhash` (same
-    2·ones ≥ n rule, same i=63 sign bit, all-ones for empty input)."""
+    2·ones ≥ n rule, same i=63 sign bit, all-ones for empty input,
+    null in → null signature out exactly like the native Column)."""
     @F.pandas_udf("long")
     def sig(hashes: pd.Series) -> pd.Series:
         arrs = hashes.to_numpy()
         n = len(arrs)
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        # null text → null hash array: propagate a NULL signature to
+        # match the native Column path instead of raising on len(None)
+        isnull = np.fromiter((a is None for a in arrs), dtype=bool, count=n)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in arrs),
+            dtype=np.int64, count=n,
+        )
         out_u = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF))  # empty → all ones
         nz = np.flatnonzero(lens > 0)
         if len(nz):
@@ -305,9 +348,45 @@ def _simhash_majority_udf():
             out_u[nz] = (maj.astype(np.uint64) * weights[None, :]).sum(
                 axis=1, dtype=np.uint64
             )
-        return pd.Series(out_u.view(np.int64))
+        res = pd.Series(out_u.view(np.int64))
+        if isnull.any():
+            res = res.astype("Int64")
+            res[isnull] = pd.NA
+        return res
 
     return sig
+
+
+def max_hamming_for(jaccard: float, bits: int = 64) -> int:
+    """Expected SimHash Hamming distance (rounded up) of a pair whose
+    shingle sets have the given Jaccard similarity — the knob that
+    turns a similarity TARGET into a ``max_hamming`` setting.
+
+    Derivation: for same-size shingle sets, Jaccard J ≈ indicator
+    cosine 2J/(1+J); each signature bit flips independently with
+    probability θ/π (θ = arccos of that cosine), so a J-similar pair
+    sits at expected Hamming ≈ bits·θ/π. Setting ``max_hamming`` below
+    this loses ≈ half the pairs at exactly J and nearly all looser
+    ones — the r4 bench measured planted recall ≈ 0.007 for
+    1-token-in-32 edits (J ≈ 0.82, expected Hamming ≈ 10) under the
+    default ``max_hamming=3`` (≈ J ≥ 0.97). Rule of thumb: SimHash is
+    the TIGHT-duplicate operator; for bands much below J ≈ 0.95,
+    expected Hamming grows past what pigeonhole blocking can probe
+    cheaply (max_hamming 10 → 16 blocks of 4 bits → huge buckets), so
+    use :func:`minhash_lsh_pairs`, whose band threshold tunes to any
+    J.
+
+    >>> max_hamming_for(0.97)   # the default operating point
+    4
+    >>> max_hamming_for(0.82)   # 1-token-in-32 edits: not simhash turf
+    10
+    """
+    import math
+
+    if not 0.0 < jaccard <= 1.0:
+        raise ValueError(f"jaccard must be in (0, 1], got {jaccard}")
+    cos = min(1.0, 2.0 * jaccard / (1.0 + jaccard))
+    return min(bits, math.ceil(bits * math.acos(cos) / math.pi))
 
 
 def simhash_blocks(max_hamming: int) -> int:
@@ -333,6 +412,15 @@ def simhash_near_dups(
     rotated prefixes — pigeonhole over ≥ max_hamming+1 blocks, derived
     by :func:`simhash_blocks` unless ``prefix_bits`` is forced), then
     verify exact Hamming distance natively via bit_count(xor).
+
+    OPERATING POINT — read before picking ``max_hamming``: Hamming
+    distance maps to shingle-Jaccard via :func:`max_hamming_for`; the
+    default 3 means ≈ Jaccard ≥ 0.97 (near-identical documents ONLY).
+    A looser band (e.g. one-token edits at J ≈ 0.8, expected Hamming
+    ≈ 13) will be silently missed — measured planted recall 0.007 in
+    BENCH_r04 — so for loose bands use :func:`minhash_lsh_pairs` and
+    keep SimHash for tight duplicates where its single-long signature
+    is the cheapest possible state.
 
     ``max_bucket`` mirrors minhash_lsh_pairs' skew guard: a mega-cluster
     of near-identical documents shares block prefixes, making the block

@@ -151,18 +151,22 @@ def _md5_features(b: bytes, feature_dim: int) -> list[float]:
 def _shannon_entropy(b: bytes) -> float:
     """Byte-histogram Shannon entropy, normalized to [0, 1] (bits per
     byte / 8). Replaces the round-1 zlib-ratio proxy: same monotone
-    signal, but exactly re-expressible in the DuckDB oracle."""
-    import math
+    signal, but exactly re-expressible in the DuckDB oracle.
+
+    Vectorized (r5): the previous per-byte Python dict loop made THIS
+    function — not decoding — the media stage's bottleneck (~5M
+    interpreted iterations for a 5 MB image). np.bincount over a
+    zero-copy frombuffer view + one vectorized p·log2(p) is the same
+    histogram math at memory bandwidth; tests/test_media.py pins
+    equality against the scalar reference loop."""
+    import numpy as np
 
     n = len(b)
     if not n:
         return 0.0
-    counts: dict[int, int] = {}
-    for x in b:
-        counts[x] = counts.get(x, 0) + 1
-    return -sum(
-        (c / n) * math.log2(c / n) for c in counts.values()
-    ) / 8.0
+    counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+    p = counts[counts > 0] / n
+    return float(-(p * np.log2(p)).sum() / 8.0)
 
 
 def encode_bmp(pixels) -> bytes:

@@ -103,8 +103,25 @@ def _footer_max_doc_spans(documents: DataFrame) -> int | None:
     above the scan, ``inputFiles()`` still lists the underlying files,
     so the bound is conservative (may over-report a giant that the
     filter drops): a perf-only false positive, never a correctness one.
+    That guarantee requires ``n_spans`` to be the SCAN's own column —
+    a derived/recomputed ``n_spans`` (alias over size(spans) after
+    re-packing, a rename) could exceed a smaller same-named file
+    column and silently UNDER-report, so the analyzed plan is checked
+    and any plan that aliases something AS n_spans falls back to the
+    probe job.
     """
     if "n_spans" not in documents.columns:
+        return None
+    try:
+        # reject derived columns: an unmodified scan attribute appears
+        # in the analyzed plan only as `n_spans#NN`; any Project/rename
+        # that (re)defines it prints `... AS n_spans#NN`
+        import re
+
+        plan = documents._jdf.queryExecution().analyzed().toString()
+        if re.search(r" AS n_spans#\d", plan):
+            return None
+    except Exception:
         return None
     try:
         files = documents.inputFiles()

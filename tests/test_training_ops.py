@@ -284,3 +284,69 @@ def test_bmp_decode_path(spark):
     back = media.decode_bmp(media.encode_bmp(px))
     assert back.shape == (20, 30)
     assert np.allclose(back, px / 255.0, atol=1e-6)
+
+
+def test_entropy_vectorized_matches_scalar_reference():
+    """r5: _shannon_entropy was vectorized (np.bincount + one p·log2 p
+    pass); pin it against the original per-byte dict loop — identical
+    math, so values must agree to well under the oracle's 1e-6
+    rounding grain on every payload shape that matters."""
+    import math
+    import random
+
+    from pdf_parser_python_spark.operators.media import _shannon_entropy
+
+    def scalar_ref(b: bytes) -> float:  # the pre-r5 implementation
+        n = len(b)
+        if not n:
+            return 0.0
+        counts: dict[int, int] = {}
+        for x in b:
+            counts[x] = counts.get(x, 0) + 1
+        return -sum(
+            (c / n) * math.log2(c / n) for c in counts.values()
+        ) / 8.0
+
+    rng = random.Random(5)
+    payloads = [
+        b"",
+        b"\x00",
+        b"a" * 1000,                              # single symbol → 0
+        bytes(range(256)) * 4,                    # uniform → exactly 1
+        bytes(rng.randrange(256) for _ in range(10_000)),
+        bytes(rng.choices(b"abcd\x00\xff", k=5_000)),
+        __import__("hashlib").sha256(b"x").digest() * 100,
+    ]
+    for b in payloads:
+        got, want = _shannon_entropy(b), scalar_ref(b)
+        assert math.isclose(got, want, rel_tol=0, abs_tol=1e-12), (
+            len(b), got, want)
+    assert _shannon_entropy(b"a" * 1000) == 0.0
+    assert _shannon_entropy(bytes(range(256))) == 1.0
+
+
+def test_max_hamming_for():
+    """r5: the hamming↔Jaccard operating-point math, pinned. Identical
+    shingle sets → 0; the default tight point (J=0.97) → ~4 bits; the
+    bench's 1-token-in-32 edit band (J≈0.82) → far outside cheap
+    pigeonhole blocking (so minhash is the right operator there)."""
+    import pytest as _pytest
+
+    from pdf_parser_python_spark.operators.dedup import (
+        max_hamming_for,
+        simhash_blocks,
+    )
+
+    assert max_hamming_for(1.0) == 0
+    assert max_hamming_for(0.97) == 4
+    assert max_hamming_for(0.82) == 10
+    # monotone: looser similarity → larger expected hamming
+    vals = [max_hamming_for(j / 100) for j in range(50, 101)]
+    assert vals == sorted(vals, reverse=True)
+    # blocks required for the loose band explode vs the tight default
+    assert simhash_blocks(max_hamming_for(0.97)) == 8
+    assert simhash_blocks(max_hamming_for(0.82)) == 16
+    with _pytest.raises(ValueError):
+        max_hamming_for(0.0)
+    with _pytest.raises(ValueError):
+        max_hamming_for(1.5)
