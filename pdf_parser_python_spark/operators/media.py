@@ -108,6 +108,44 @@ def synthetic_bmp_media(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def synthetic_bmp_corpus(spark, n: int, partitions: int = 32) -> DataFrame:
+    """Distributed twin of :func:`synthetic_bmp_media` for benchmark
+    scale: payloads are encoded INSIDE mapInPandas workers (the driver
+    never materializes a single image), so a 10⁵-payload corpus
+    generates at full parallelism. Same deterministic gradient/block
+    patterns, so every payload is a valid 24-bit BMP and
+    ``extract_features(decode=True)`` exercises the real pixel path."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].to_numpy()
+            rows = []
+            for i in ids:
+                i = int(i)
+                w = 16 + (i * 7) % 48
+                h = 12 + (i * 5) % 40
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = ((xx * (17 + i) + yy * (29 + 3 * i)) % 256).astype(
+                    np.uint8
+                )
+                if i % 4 == 0:
+                    px = np.zeros((h, w), dtype=np.uint8)
+                    px[:, w // 2:] = 255
+                rows.append(
+                    (f"bmp://syn/{i}", "image", encode_bmp(px), w, h, None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "media_type", "payload",
+                         "width", "height", "duration_ms"],
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
 def size_filter(media: DataFrame, min_w: int = 50, min_h: int = 50) -> DataFrame:
     """F4: drop tiny images (reference block_extractor.py:289-293);
     non-image rows pass through."""

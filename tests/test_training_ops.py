@@ -350,3 +350,113 @@ def test_max_hamming_for():
         max_hamming_for(0.0)
     with _pytest.raises(ValueError):
         max_hamming_for(1.5)
+
+
+def test_bmp_corpus_distributed_matches_driver_side(spark):
+    """r5: synthetic_bmp_corpus (mapInPandas, bench-scale) must emit
+    byte-identical payloads to the driver-side synthetic_bmp_media."""
+    a = {r.media_ref: (bytes(r.payload), r.width, r.height)
+         for r in media.synthetic_bmp_media(spark, 16).collect()}
+    b = {r.media_ref: (bytes(r.payload), r.width, r.height)
+         for r in media.synthetic_bmp_corpus(spark, 16, partitions=4).collect()}
+    assert a == b
+
+
+def test_cluster_reps_are_fixpoints(spark):
+    """r5: minhash_dedup_clusters now iterates pointer jumping to
+    convergence by default — every emitted representative must be its
+    own representative (the property a too-shallow fixed hop count
+    violates on deep chains), and labels must be partitioning-
+    independent."""
+    from pdf_parser_python_spark.sources import textgen
+
+    docs = textgen.dedup_bench_corpus(spark, 3000).cache()
+    labels = {r.doc_id: r.cluster_rep
+              for r in dedup.minhash_dedup_clusters(docs).collect()}
+    assert labels, "planted corpus must produce clusters"
+    for doc, rep in labels.items():
+        assert labels.get(rep, rep) == rep, (doc, rep)
+    # repartitioned input → identical labels
+    labels2 = {r.doc_id: r.cluster_rep
+               for r in dedup.minhash_dedup_clusters(
+                   docs.repartition(13)).collect()}
+    assert labels == labels2
+    # fixed-squaring mode still available and agrees once deep enough
+    labels3 = {r.doc_id: r.cluster_rep
+               for r in dedup.minhash_dedup_clusters(
+                   docs, n_iter=5).collect()}
+    assert labels == labels3
+
+
+def test_chunked_non_dense_offsets(spark):
+    """r5 ADVICE fix: span offsets need only be unique/ordered, not
+    dense — byte-like offsets with big gaps must parse identically to
+    the packed whole-document run (the old count-sized bucket table
+    silently DROPPED spans whose offset exceeded the row count)."""
+    import random
+
+    from pdf_parser_python_spark import schema
+    from pdf_parser_python_spark.operators import chunked
+    from pdf_parser_python_spark.plans import pipeline
+
+    rng = random.Random(3)
+    spans, off = [], 0
+    for qn in range(1, 31):
+        for line in (f"Question: {qn}", "body text", "A. one", "B. two",
+                     "Answer: A"):
+            spans.append(("gd", "text", line, None, off, 1))
+            off += rng.randrange(1, 9000)  # sparse byte-like offsets
+    sr = spark.createDataFrame(
+        spans, "doc_id string, kind string, text string,"
+               " media_ref string, offset long, page int")
+    got = sorted(
+        (r.doc_id, r.seq, r.question_number, r.question_text)
+        for r in chunked.parse_span_rows_final(sr, chunk_spans=12).collect()
+    )
+    packed = spark.createDataFrame(
+        [("gd", [{"kind": k, "text": t, "media_ref": m,
+                  "offset": o, "page": p}
+                 for (_, k, t, m, o, p) in spans])],
+        schema.DOCUMENT_SPANS_EXT)
+    want = sorted(
+        (r.doc_id, r.seq, r.question_number, r.question_text)
+        for r in pipeline.extract_questions(
+            packed, giant_doc_spans=None).collect()
+    )
+    assert got == want and len(got) == 30
+    # packed projection path too (explode → same bucket map logic)
+    got2 = sorted(
+        (r.doc_id, r.seq, r.question_number, r.question_text)
+        for r in chunked.parse_giant_final(packed, chunk_spans=12).collect()
+    )
+    assert got2 == want
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """r5: n_tables/probe_t multiprobe — native and vectorized paths
+    agree exactly, defaults stay single-table radius-1, and the probe
+    superset can only ADD candidates (rerank is exact, so recall is
+    monotone in the probe set)."""
+    import random
+
+    rng = random.Random(41)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base)] + [
+        (i, [x + rng.uniform(-0.06 * i, 0.06 * i) for x in base])
+        for i in range(1, 25)
+    ] + [(100 + i, [rng.uniform(-1, 1) for _ in range(16)])
+         for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r.vec_id for r in similarity.cosine_topk(emb, 0, k=10).collect()}
+    one = similarity.lsh_bucket_topk(emb, 0, k=10, n_planes=8).collect()
+    mp_n = similarity.lsh_bucket_topk(
+        emb, 0, k=10, n_planes=8, n_tables=2, probe_t=4).collect()
+    mp_v = similarity.lsh_bucket_topk(
+        emb, 0, k=10, n_planes=8, n_tables=2, probe_t=4,
+        vectorized=True).collect()
+    key = lambda rs: [(r.rank, r.vec_id, r.score) for r in rs]
+    assert key(mp_n) == key(mp_v)
+    r1 = len(exact & {r.vec_id for r in one})
+    rmp = len(exact & {r.vec_id for r in mp_n})
+    assert rmp >= r1
+    assert rmp >= 8  # wide probing on this small set must be near-exact
