@@ -153,16 +153,34 @@ class ExtractionJob:
         for d in (qdir, sdir, rdir):
             shutil.rmtree(d, ignore_errors=True)
 
-        pipeline.parse_raw(docs).write.mode("overwrite").parquet(rdir)
+        # metric counts ride ON the write actions (Observation API) —
+        # r5: the three separate count() jobs were measured as a large
+        # share of the per-bucket fixed cost (BENCH.md lineage phase);
+        # at 4096 buckets that is 3×4096 driver round-trips for numbers
+        # the write jobs already see
+        from pyspark.sql import Observation
+
+        ob_raw = Observation()
+        pipeline.parse_raw(docs).observe(
+            ob_raw,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("parse_failed").cast("long")).alias("nf"),
+        ).write.mode("overwrite").parquet(rdir)
+        n_fail = int(ob_raw.get["nf"] or 0)
         raw = spark.read.parquet(rdir)
 
-        _finalize.finalize_questions(raw).write.mode("overwrite").parquet(qdir)
+        ob_q = Observation()
+        _finalize.finalize_questions(raw).observe(
+            ob_q, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(qdir)
+        n_q = int(ob_q.get["n"])
         written = spark.read.parquet(qdir)
-        _flatten.flat_spans(written).write.mode("overwrite").parquet(sdir)
 
-        n_q = written.count()
-        n_spans_out = spark.read.parquet(sdir).count()
-        n_fail = raw.filter(F.col("parse_failed")).count()
+        ob_s = Observation()
+        _flatten.flat_spans(written).observe(
+            ob_s, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(sdir)
+        n_spans_out = int(ob_s.get["n"])
         return {
             "partition_id": bucket,
             "status": "done",
