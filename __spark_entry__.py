@@ -823,6 +823,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_topk"] = sim_topk
 
+    # — pdfscan family, fully oracled: the deterministic SPDF corpus
+    #   (sources/spdfgen.py) is a pure integer function of
+    #   (doc, page, index), so the whole binaryFile scan →
+    #   filter_blocks (F4/F6/F7/F5) → blocks_to_documents (S4/W1)
+    #   pipeline replays in DuckDB over range() —
+    def _spdf_spans(spark, page_range=None):
+        from pdf_parser_python_spark.sources import pdfscan, spdfgen
+
+        glob = spdfgen.synthetic_spdf_corpus()
+        blocks = pdfscan.scan_blocks(spark, glob, page_range=page_range)
+        kept = pdfscan.filter_blocks(blocks, page_image_cap=6)
+        docs = pdfscan.blocks_to_documents(kept)
+        return docs.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.page").alias("page"),
+        )
+
+    def pdf_scan_spans(spark, sf):
+        return _spdf_spans(spark)
+
+    q["pdf_scan_spans"] = pdf_scan_spans
+
+    def pdf_scan_range(spark, sf):
+        return _spdf_spans(spark, page_range=(2, 3))
+
+    q["pdf_scan_range"] = pdf_scan_range
+
+    def a12_image_seen(spark, sf):
+        from pyspark.sql.window import Window
+
+        from pdf_parser_python_spark.sources import pdfscan, spdfgen
+
+        glob = spdfgen.synthetic_spdf_corpus()
+        blocks = pdfscan.scan_blocks(spark, glob)
+        w = Window.partitionBy("doc_id", "img_hash").orderBy(
+            "page", "y0", "x0"
+        )
+        return blocks.where(F.col("kind") == "image").select(
+            "doc_id",
+            "media_ref",
+            "page",
+            F.row_number().over(w).cast("int").alias("nth"),
+        )
+
+    q["a12_image_seen"] = a12_image_seen
+
     return q
 
 
@@ -857,6 +907,11 @@ def oracle_sql() -> dict[str, str]:
         # — multimodal features: corpus is a pure function of the index,
         #   synthesized in SQL over range(0,64) (functions/oracle.py) —
         "media_features": _oracle.media_features_sql(),
+        # — pdfscan pipeline replayed in SQL over the deterministic
+        #   SPDF corpus (sources/spdfgen.py ↔ pdf_scan_sql docstring) —
+        "pdf_scan_spans": _oracle.pdf_scan_sql(),
+        "pdf_scan_range": _oracle.pdf_scan_sql(page_range=(2, 3)),
+        "a12_image_seen": _oracle.a12_image_seen_sql(),
         "text_profile": _oracle.text_profile_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt

@@ -788,3 +788,107 @@ SELECT c.doc_id,
        '1.0.0' AS parser_version,
        NULL::VARCHAR AS parse_timestamp
 FROM canon c LEFT JOIN structured s ON c.doc_id = s.doc_id"""
+
+
+_SPDF_GEN = """
+docs AS (SELECT unnest(range(0, {D})) AS d),
+pages AS (SELECT d, unnest(range(1, 2 + d % 3 + 1)) AS p FROM docs),
+tk AS (SELECT d, p, unnest(range(0, 3 + (d + p) % 4)) AS k FROM pages),
+text_blocks AS (
+    SELECT 'sdoc' || lpad(d::VARCHAR, 4, '0') AS doc_id, 'text' AS kind,
+           'doc ' || d || ' page ' || p || ' block ' || k AS text,
+           NULL::VARCHAR AS media_ref, p AS page,
+           (2 * ((k*37 + p*11 + d*7) % 200))::DOUBLE AS x0,
+           ((k*53 + p*17) % 600)::DOUBLE AS y0,
+           (2 * ((k*37 + p*11 + d*7) % 200) + 50 + k)::DOUBLE AS x1,
+           ((k*53 + p*17) % 600 + 12)::DOUBLE AS y1,
+           NULL::INT AS img_w, NULL::INT AS img_h,
+           NULL::VARCHAR AS img_hash
+    FROM tk),
+im AS (SELECT d, p, unnest(range(0,
+           CASE WHEN d = 0 AND p = 1 THEN 8 ELSE (d + p) % 4 END)) AS m
+       FROM pages),
+img_blocks AS (
+    SELECT 'sdoc' || lpad(d::VARCHAR, 4, '0') AS doc_id, 'image' AS kind,
+           NULL::VARCHAR AS text,
+           'im' || ((d*3 + p + m) % 5) AS media_ref, p AS page,
+           (2 * ((m*41 + p*13 + d) % 200) + 1)::DOUBLE AS x0,
+           ((m*59 + d*3 + p*29) % 700)::DOUBLE AS y0,
+           (2 * ((m*41 + p*13 + d) % 200) + 1
+            + CASE WHEN d = 0 AND p = 1 THEN 50 + m
+                   WHEN (d + m) % 7 = 0 THEN 0
+                   ELSE 60 + m END)::DOUBLE AS x1,
+           ((m*59 + d*3 + p*29) % 700 + 25)::DOUBLE AS y1,
+           (CASE WHEN d = 0 AND p = 1 THEN 60 + m
+                 ELSE 30 + (d + m*29) % 60 END)::INT AS img_w,
+           (CASE WHEN d = 0 AND p = 1 THEN 60
+                 ELSE 55 + (m*13 + p) % 40 END)::INT AS img_h,
+           md5('im' || ((d*3 + p + m) % 5)) AS img_hash
+    FROM im),
+logo_blocks AS (
+    SELECT 'sdoc' || lpad(d::VARCHAR, 4, '0') AS doc_id, 'image' AS kind,
+           NULL::VARCHAR AS text, 'logo' AS media_ref, p AS page,
+           11.0 AS x0, (700 + 5*j)::DOUBLE AS y0,
+           41.0 AS x1, (700 + 5*j + 20)::DOUBLE AS y1,
+           60 AS img_w, 60 AS img_h, md5('logo') AS img_hash
+    FROM (SELECT d, p, unnest(range(0, 2)) AS j FROM pages
+          WHERE d % 5 = 1)),
+blocks AS (
+    SELECT * FROM text_blocks
+    UNION ALL SELECT * FROM img_blocks
+    UNION ALL SELECT * FROM logo_blocks)
+"""
+
+
+def pdf_scan_sql(n_docs: int = 40, cap: int = 6,
+                 page_range: tuple[int, int] | None = None) -> str:
+    """DuckDB replay of the full pdfscan pipeline
+    (sources/pdfscan.py scan_blocks -> filter_blocks ->
+    blocks_to_documents, reference block_extractor.py:57-357) over
+    the deterministic corpus from sources/spdfgen.py: S1/S3 block
+    synthesis, S2 page-range prune, F4/F6 size filters, F7 per-page
+    cap, F5 logo running-count filter, S4/W1 per-page (y0, x0) sort
+    with global dense re-index."""
+    prune = (
+        f"WHERE page BETWEEN {page_range[0]} AND {page_range[1]}"
+        if page_range else ""
+    )
+    return f"""WITH {_SPDF_GEN.format(D=n_docs)},
+pruned AS (SELECT * FROM blocks {prune}),
+f46 AS (
+    SELECT * FROM pruned
+    WHERE kind <> 'image'
+       OR ((x1 - x0) >= 1 AND (y1 - y0) >= 1
+           AND img_w >= 50 AND img_h >= 50)),
+f7 AS (
+    SELECT * FROM (
+        SELECT *, sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id, page) AS _pi
+        FROM f46)
+    WHERE kind <> 'image' OR _pi <= {cap}),
+f5 AS (
+    SELECT * FROM (
+        SELECT *, CASE WHEN kind = 'image' THEN
+                     row_number() OVER (PARTITION BY doc_id, img_hash
+                                        ORDER BY page, y0, x0)
+                   ELSE 0 END AS _nth
+        FROM f7)
+    WHERE kind <> 'image'
+       OR NOT (_nth > 5 AND (x1 - x0) * (y1 - y0) < 10000))
+SELECT doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY page, y0, x0)
+        - 1)::INT AS "offset",
+       kind, coalesce(text, '') AS text,
+       coalesce(media_ref, '') AS media_ref, page::INT AS page
+FROM f5"""
+
+
+def a12_image_seen_sql(n_docs: int = 40) -> str:
+    """A12 running image-hash occurrence count over the raw
+    (unfiltered) scan — the reference's seen-hash counter
+    (block_extractor.py:308-325) as a window function."""
+    return f"""WITH {_SPDF_GEN.format(D=n_docs)}
+SELECT doc_id, media_ref, page::INT AS page,
+       row_number() OVER (PARTITION BY doc_id, img_hash
+                          ORDER BY page, y0, x0)::INT AS nth
+FROM blocks WHERE kind = 'image'"""
