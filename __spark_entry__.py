@@ -5,7 +5,7 @@ deterministically from ``sf0.001/documents.parquet`` (native Column
 ops only, BASELINE.json input_hint shape).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (+ training-data ops). All 47 queries carry a full
+from SURVEY.md §2 (+ training-data ops). All 55 queries carry a full
 DuckDB oracle, INCLUDING the stateful-FSM extraction queries (the FSM
 decomposes into window cumsums + ordered string_agg —
 functions/oracle.py), the anchor-chunked giant-doc engine (checked
@@ -13,7 +13,10 @@ against the same FSM oracle), the dedup/ANN family and its vectorized
 twins (md5-derived pluggable hashing — functions/hashing.py), near-dup
 cluster assignment (3 pointer jumps = 3 SQL self-joins), and
 media_features (synthetic media corpus materialized to parquet,
-features recomputed in SQL).
+features recomputed in SQL), the pdfscan pipeline (deterministic SPDF
+corpus — sources/spdfgen.py — regenerated in SQL from range()), and
+the S5/S6 sink round-trips (normalize→hydrate and JSON write→read,
+reduced to an options/images digest the FSM oracle recomputes).
 """
 
 from __future__ import annotations
@@ -873,6 +876,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["a12_image_seen"] = a12_image_seen
 
+    def a9_page_metrics(spark, sf):
+        from pdf_parser_python_spark.sources import pdfscan, spdfgen
+
+        glob = spdfgen.synthetic_spdf_corpus()
+        blocks = pdfscan.scan_blocks(spark, glob)
+        return _validate.page_metrics(blocks)
+
+    q["a9_page_metrics"] = a9_page_metrics
+
+    # — S10 content-hash dedup: the 32-doc prefix is unioned in twice,
+    #   so exactly 32 payload duplicates must collapse; the oracle is
+    #   the 64 unique synthetic rows —
+    def s10_media_dedup(spark, sf):
+        from pdf_parser_python_spark.operators import media
+
+        corpus = media.synthetic_media(spark, 64).unionAll(
+            media.synthetic_media(spark, 32)
+        )
+        return media.dedup_by_content(corpus).select(
+            "media_ref", "media_type",
+            F.length("payload").alias("n_bytes"),
+        )
+
+    q["s10_media_dedup"] = s10_media_dedup
+
+    # — S5/S6 sink round-trips, hash-checked: full nested questions →
+    #   sink → back, reduced to a digest (flat scalars + per-option
+    #   key~text~is_correct~n_images + per-section image counts) the
+    #   FSM oracle recomputes in SQL. A sink that mangles any child
+    #   row or re-orders options changes the digest —
+    def _roundtrip_digest(qdf):
+        opts_digest = F.concat_ws(
+            "|",
+            F.transform(
+                "options",
+                lambda o: F.concat_ws(
+                    "~",
+                    o["key"],
+                    o["text"],
+                    o["is_correct"].cast("string"),
+                    F.size(o["images"]).cast("string"),
+                ),
+            ),
+        )
+        return qdf.select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "explanation_text",
+            "anomaly_score",
+            opts_digest.alias("opts_digest"),
+            F.size("question_images").alias("n_qimg"),
+            F.size("answer_images").alias("n_aimg"),
+            F.size("explanation_images").alias("n_eimg"),
+        )
+
+    def s6_store_roundtrip(spark, sf):
+        from pdf_parser_python_spark.operators import store as _store
+
+        _ensure_shipped(spark)
+        qs = pipeline.extract_questions(_spans_table(spark, sf))
+        return _roundtrip_digest(_store.hydrate(_store.normalize(qs)))
+
+    q["s6_store_roundtrip"] = s6_store_roundtrip
+
+    def s5_json_roundtrip(spark, sf):
+        import tempfile
+
+        _ensure_shipped(spark)
+        qs = pipeline.extract_questions(_spans_table(spark, sf))
+        path = os.path.join(
+            tempfile.gettempdir(), "s5_json_sink", os.path.basename(sf)
+        )
+        qs.write.mode("overwrite").json(path)
+        back = spark.read.schema(qs.schema).json(path)
+        return _roundtrip_digest(back)
+
+    q["s5_json_roundtrip"] = s5_json_roundtrip
+
     return q
 
 
@@ -910,8 +990,18 @@ def oracle_sql() -> dict[str, str]:
         # — pdfscan pipeline replayed in SQL over the deterministic
         #   SPDF corpus (sources/spdfgen.py ↔ pdf_scan_sql docstring) —
         "pdf_scan_spans": _oracle.pdf_scan_sql(),
+        "s6_store_roundtrip": _oracle.extract_store_roundtrip_sql(),
+        "s5_json_roundtrip": _oracle.extract_store_roundtrip_sql(),
         "pdf_scan_range": _oracle.pdf_scan_sql(page_range=(2, 3)),
         "a12_image_seen": _oracle.a12_image_seen_sql(),
+        "a9_page_metrics": _oracle.a9_page_metrics_sql(),
+        "s10_media_dedup": """
+            WITH idx AS (SELECT unnest(range(0, 64)) AS i)
+            SELECT 'img://syn/' || i AS media_ref,
+                   ['image','audio','video'][(i % 3) + 1] AS media_type,
+                   (32 * (4 + i % 7))::INT AS n_bytes
+            FROM idx
+        """,
         "text_profile": _oracle.text_profile_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt

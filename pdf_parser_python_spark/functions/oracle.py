@@ -892,3 +892,86 @@ SELECT doc_id, media_ref, page::INT AS page,
        row_number() OVER (PARTITION BY doc_id, img_hash
                           ORDER BY page, y0, x0)::INT AS nth
 FROM blocks WHERE kind = 'image'"""
+
+
+def extract_store_roundtrip_sql(q: int = 8) -> str:
+    """Digest oracle for the S5/S6 sink round-trips (operators/
+    store.py normalize+hydrate, reference database.py:60-127/745-803;
+    JSON sink per engine.py stdout contract): flat question scalars
+    plus an options digest (key~text~is_correct~n_images per option,
+    J5 marking per state_machine.py:418-459 replayed in SQL) and
+    per-section image counts. A sink that mangles any child row
+    changes the digest."""
+    return f"""WITH {_fsm_ctes(q)},
+optagg AS (
+    SELECT doc_id, seg, oi,
+           max(CASE WHEN opt_valid THEN okey_raw END) AS key,
+           coalesce(string_agg(CASE WHEN kind = 'text' AND frag <> ''
+                                    THEN frag END, ' ' ORDER BY idx), '')
+               AS otext,
+           count(CASE WHEN kind = 'image' THEN 1 END) AS n_imgs
+    FROM fsm WHERE sec = 'options'
+    GROUP BY doc_id, seg, oi),
+optkept AS (
+    SELECT * FROM optagg WHERE NOT (trim(otext) = '' AND n_imgs = 0)),
+okeys AS (
+    SELECT doc_id, seg, list(upper(key) ORDER BY oi) AS valid,
+           count(*) AS n_opts
+    FROM optkept GROUP BY doc_id, seg),
+qk AS (
+    SELECT qq.*, coalesce(o.valid, []) AS valid,
+           coalesce(o.n_opts, 0) AS n_opts,
+           trim(qq.answer_text) <> '' AS has_answer,
+           qq.question_type = 'hotspot' AS is_hot,
+           CASE WHEN contains(qq.up, ',') THEN
+                  list_distinct(flatten(list_transform(
+                      string_split(qq.up, ','),
+                      p -> regexp_extract_all(p, '\\b([A-Z])\\b', 1))))
+                ELSE list_distinct(
+                    regexp_extract_all(qq.up, '([A-Z])', 1)) END
+               AS keys_raw
+    FROM (SELECT *, upper(trim(answer_text)) AS up FROM questions) qq
+    LEFT JOIN okeys o USING (doc_id, seg)),
+fk AS (
+    SELECT *, CASE WHEN n_opts > 0 THEN list_intersect(keys_raw, valid)
+                   ELSE keys_raw END AS final_keys
+    FROM qk),
+optd AS (
+    SELECT k.doc_id, k.seg,
+           string_agg(
+               o.key || '~' || o.otext || '~' ||
+               (CASE WHEN k.is_hot OR NOT k.has_answer THEN false
+                     ELSE list_contains(k.final_keys, upper(o.key))
+                END)::VARCHAR
+               || '~' || o.n_imgs,
+               '|' ORDER BY o.oi) AS opts_digest
+    FROM optkept o
+    JOIN fk k ON o.doc_id = k.doc_id AND o.seg = k.seg
+    GROUP BY k.doc_id, k.seg),
+secimg AS (
+    SELECT doc_id, seg,
+           count(CASE WHEN sec = 'question' THEN 1 END)::INT AS n_qimg,
+           count(CASE WHEN sec = 'answer' THEN 1 END)::INT AS n_aimg,
+           count(CASE WHEN sec = 'explanation' THEN 1 END)::INT AS n_eimg
+    FROM fsm WHERE kind = 'image' GROUP BY doc_id, seg)
+SELECT f.doc_id, f.seq, f.question_number, f.question_type,
+       f.question_text, f.answer_text, f.explanation_text,
+       f.anomaly_score,
+       coalesce(d.opts_digest, '') AS opts_digest,
+       coalesce(s.n_qimg, 0)::INT AS n_qimg,
+       coalesce(s.n_aimg, 0)::INT AS n_aimg,
+       coalesce(s.n_eimg, 0)::INT AS n_eimg
+FROM fk f
+LEFT JOIN optd d ON f.doc_id = d.doc_id AND f.seg = d.seg
+LEFT JOIN secimg s ON f.doc_id = s.doc_id AND f.seg = s.seg"""
+
+
+def a9_page_metrics_sql(n_docs: int = 40) -> str:
+    """A9 per-(doc, page) block counts (operators/validate.py
+    page_metrics, reference background_worker.py:209-232) over the
+    deterministic SPDF corpus."""
+    return f"""WITH {_SPDF_GEN.format(D=n_docs)}
+SELECT doc_id, page::INT AS page, count(*) AS n_blocks,
+       sum((kind = 'image')::INT)::BIGINT AS n_images,
+       sum((kind = 'text')::INT)::BIGINT AS n_text_lines
+FROM blocks GROUP BY doc_id, page"""
