@@ -901,6 +901,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s10_media_dedup"] = s10_media_dedup
 
+    # — §2.8 checkpoint/resume, hash-checked end-to-end: commit 3 of 8
+    #   buckets, "crash", resume the remaining 5 via the lineage
+    #   anti-join, then read the committed store back — the result
+    #   must equal a straight single-pass extraction (FSM oracle) —
+    def lineage_resume(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.plans.lineage import ExtractionJob
+
+        _ensure_shipped(spark)
+        out = os.path.join(
+            tempfile.gettempdir(), "lineage_gate", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        job = ExtractionJob(out, n_buckets=8)
+        docs = _spans_table(spark, sf)
+        job.run(spark, docs, max_buckets=3)  # simulated interruption
+        job.run(spark, docs)  # resume: anti-join against lineage
+        return job.questions(spark).select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "anomaly_score",
+        )
+
+    q["lineage_resume"] = lineage_resume
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -991,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         #   SPDF corpus (sources/spdfgen.py ↔ pdf_scan_sql docstring) —
         "pdf_scan_spans": _oracle.pdf_scan_sql(),
         "s6_store_roundtrip": _oracle.extract_store_roundtrip_sql(),
+        "lineage_resume": _oracle.extract_questions_sql(),
         "s5_json_roundtrip": _oracle.extract_store_roundtrip_sql(),
         "pdf_scan_range": _oracle.pdf_scan_sql(page_range=(2, 3)),
         "a12_image_seen": _oracle.a12_image_seen_sql(),
