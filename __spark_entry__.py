@@ -68,6 +68,12 @@ def _spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a large Catalyst tree (analysis costs seconds), and every
     extract_* query reuses the same input.
     """
+    return spark.read.parquet(_spans_path(spark, sf_dir))
+
+
+def _spans_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the spans corpus (see :func:`_spans_table`) and
+    return its parquet directory — also the streaming source dir."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     cache = f"/tmp/pdfp_exam_spans_v{_sources.EXAM_SPANS_VERSION}_{tag}.parquet"
     if not os.path.exists(cache):
@@ -75,7 +81,7 @@ def _spans_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             _docs(spark, sf_dir, "documents")
         ).write.mode("overwrite").parquet(cache + ".tmp")
         os.rename(cache + ".tmp", cache)
-    return spark.read.parquet(cache)
+    return cache
 
 
 # ── flagship ─────────────────────────────────────────────────────────────
@@ -927,6 +933,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lineage_resume"] = lineage_resume
 
+    # — §2.8 Structured Streaming, hash-checked: availableNow run of
+    #   the SAME vectorized kernel over the spans corpus as a file
+    #   stream (exactly-once parquet sink + checkpoint), then a batch
+    #   read of the sink — must equal the single-pass extraction —
+    def streaming_extract(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import stream as _stream
+
+        _ensure_shipped(spark)
+        src = _spans_path(spark, sf)
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_gate", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        _stream.start_extraction(spark, src, out).awaitTermination()
+        return spark.read.parquet(os.path.join(out, "questions")).select(
+            "doc_id", "seq", "question_number", "question_type",
+            "question_text", "answer_text", "anomaly_score",
+        )
+
+    q["streaming_extract"] = streaming_extract
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -1018,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_scan_spans": _oracle.pdf_scan_sql(),
         "s6_store_roundtrip": _oracle.extract_store_roundtrip_sql(),
         "lineage_resume": _oracle.extract_questions_sql(),
+        "streaming_extract": _oracle.extract_questions_sql(),
         "s5_json_roundtrip": _oracle.extract_store_roundtrip_sql(),
         "pdf_scan_range": _oracle.pdf_scan_sql(page_range=(2, 3)),
         "a12_image_seen": _oracle.a12_image_seen_sql(),
