@@ -681,6 +681,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    # — exact n-gram Jaccard verification of LSH candidate pairs —
+    def dedup_jaccard(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard,
+        )
+
+        d = _docs(spark, sf, "documents")
+        mut = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing edit token"))
+            .alias("text"),
+        )
+        both = d.select("doc_id", "text").unionByName(mut)
+        pairs = minhash_lsh_pairs(
+            both, k=32, bands=16, threshold=0.5, hasher=md5_64
+        ).select("doc_a", "doc_b")
+        return ngram_jaccard(both, pairs)
+
+    q["dedup_jaccard"] = dedup_jaccard
+
     # — training-data: embedding-cosine near-dup pairs (deterministic
     #   hyperplanes, embedded as literals in the oracle SQL) —
     def dedup_embedding(spark, sf):
@@ -1033,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracle.dedup_simhash_sql(),
         "dedup_simhash_vec": _oracle.dedup_simhash_sql(),
         "dedup_clusters": _oracle.dedup_clusters_sql(),
+        "dedup_jaccard": _oracle.dedup_jaccard_sql(),
         "dedup_embedding": _oracle.dedup_embedding_sql(),
         "dedup_embedding_vec": _oracle.dedup_embedding_sql(),
         "sim_lsh_topk": _oracle.sim_lsh_topk_sql(),

@@ -350,6 +350,32 @@ WHERE round(len(list_filter(range(1, {k}+1), p -> sig_a[p] = sig_b[p]))
             / {k}.0, 4) >= {threshold}"""
 
 
+def dedup_jaccard_sql(k: int = 32, bands: int = 16,
+                      threshold: float = 0.5,
+                      max_bucket: int = 4096) -> str:
+    """ngram_jaccard (operators/dedup.py) over minhash-LSH candidate
+    pairs: the full :func:`dedup_minhash_sql` query nests as the pair
+    source, then each pair's exact 3-gram Jaccard is recomputed from
+    the (deduplicated) shingle sets — |∩| / |∪|, rounded to 4."""
+    inner = dedup_minhash_sql(k, bands, threshold, max_bucket)
+    return f"""
+WITH pairs AS ({inner}),
+jsh AS (
+    SELECT doc_id, {_SHINGLES} AS sh
+    FROM (SELECT doc_id, {_TOKS_L} AS toks FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' trailing edit token'
+        FROM documents)))
+SELECT p.doc_a, p.doc_b,
+       round(len(list_intersect(sa.sh, sb.sh))
+             / greatest(len(list_distinct(sa.sh || sb.sh)), 1), 4)
+           AS jaccard
+FROM pairs p
+JOIN jsh sa ON sa.doc_id = p.doc_a
+JOIN jsh sb ON sb.doc_id = p.doc_b"""
+
+
 def dedup_clusters_sql(k: int = 32, bands: int = 16) -> str:
     """minhash_dedup_clusters (operators/dedup.py): star edges to each
     band bucket's min doc_id, then pointer-jumping squarings
