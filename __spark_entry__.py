@@ -5,7 +5,7 @@ deterministically from ``sf0.001/documents.parquet`` (native Column
 ops only, BASELINE.json input_hint shape).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (+ training-data ops). All 55 queries carry a full
+from SURVEY.md §2 (+ training-data ops). All 61 queries carry a full
 DuckDB oracle, INCLUDING the stateful-FSM extraction queries (the FSM
 decomposes into window cumsums + ordered string_agg —
 functions/oracle.py), the anchor-chunked giant-doc engine (checked
@@ -1031,6 +1031,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s5_json_roundtrip"] = s5_json_roundtrip
 
+    # — HTML main-content lane (north rule: "HTML boilerplate strip,
+    #   DOM heuristics"): deterministic synthesized HTML corpus →
+    #   strip → block nodes → link-density/min-text heuristics →
+    #   ordered spans. Native-Catalyst and Arrow engines share one
+    #   DuckDB oracle that replays the identical regex semantics —
+    def html_extract_spans(spark, sf):
+        from pdf_parser_python_spark.operators import html as _html
+
+        return _html.html_to_spans(
+            _html.synth_html(_docs(spark, sf, "documents"))
+        )
+
+    q["html_extract_spans"] = html_extract_spans
+
+    def html_extract_spans_arrow(spark, sf):
+        from pdf_parser_python_spark.operators import html as _html
+
+        _ensure_shipped(spark)
+        return _html.html_to_spans(
+            _html.synth_html(_docs(spark, sf, "documents")), engine="arrow"
+        )
+
+    q["html_extract_spans_arrow"] = html_extract_spans_arrow
+
+    def html_main_content(spark, sf):
+        from pdf_parser_python_spark.operators import html as _html
+
+        return _html.main_content(
+            _html.html_to_spans(
+                _html.synth_html(_docs(spark, sf, "documents"))
+            )
+        )
+
+    q["html_main_content"] = html_main_content
+
     return q
 
 
@@ -1073,6 +1108,9 @@ def oracle_sql() -> dict[str, str]:
         "lineage_resume": _oracle.extract_questions_sql(),
         "streaming_extract": _oracle.extract_questions_sql(),
         "s5_json_roundtrip": _oracle.extract_store_roundtrip_sql(),
+        "html_extract_spans": _oracle.html_extract_sql(),
+        "html_extract_spans_arrow": _oracle.html_extract_sql(),
+        "html_main_content": _oracle.html_main_content_sql(),
         "pdf_scan_range": _oracle.pdf_scan_sql(page_range=(2, 3)),
         "a12_image_seen": _oracle.a12_image_seen_sql(),
         "a9_page_metrics": _oracle.a9_page_metrics_sql(),

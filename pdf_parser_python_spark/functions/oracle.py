@@ -1001,3 +1001,106 @@ SELECT doc_id, page::INT AS page, count(*) AS n_blocks,
        sum((kind = 'image')::INT)::BIGINT AS n_images,
        sum((kind = 'text')::INT)::BIGINT AS n_text_lines
 FROM blocks GROUP BY doc_id, page"""
+
+
+# ── HTML main-content lane (operators/html.py) ─────────────────────────
+
+def _html_ctes() -> str:
+    """Shared WITH-chain: documents → synthesized HTML corpus →
+    boilerplate strip → block nodes → kept spans.
+
+    Byte-identical to operators/html.py::synth_html + html_to_spans:
+    the regexes are the module constants (Java-regex ∩ RE2 common
+    subset) and the corpus is a pure string function of
+    (doc_id, text, source).  Produces CTE ``hspans`` with columns
+    (doc_id, "offset", kind, text, media_ref).
+    """
+    from pdf_parser_python_spark.operators.html import (
+        MIN_TEXT, RE_LINK, RE_NODE, RE_SRC, RE_STRIP,
+    )
+
+    return f"""
+hdocs AS (
+    SELECT doc_id, coalesce(text, '') AS t, coalesce(source, '') AS src,
+           doc_id::VARCHAR AS d,
+           least(6, 1 + floor(length(coalesce(text, '')) / 96))::INT AS np
+    FROM documents),
+hhtml AS (
+    SELECT doc_id,
+      '<html><head><title>Doc ' || d || '</title>'
+      || '<style>.m0 sans</style>'
+      || '<script>var x="</p>" trap(x)</script></head>'
+      || '<body><nav><a href="/">home</a> <a href="/a">about</a>'
+      || ' <a href="/c">contact</a></nav>'
+      || '<header><h1>' || substr(t, 1, 24) || '</h1></header>'
+      || '<!-- build 2026 -->'
+      || '<h2>' || substr(t, 9, 24) || '</h2>'
+      || array_to_string(list_transform(range(0, np), k ->
+           (CASE WHEN (doc_id + k) % 4 = 0
+                 THEN '<img src="img://' || d || '/' || k::VARCHAR || '">'
+                 ELSE '' END)
+           || (CASE WHEN k % 3 = 1
+                 THEN '<p>' || substr(t, k * 64 + 1, 64)
+                      || ' <a href="/x/' || d || '">' || substr(t, 1, 16)
+                      || '</a></p>'
+                 ELSE '<p>' || substr(t, k * 64 + 1, 64) || '</p>' END)), '')
+      || '<div><a href="/t/1">tag one</a> <a href="/t/2">tag two</a></div>'
+      || '<div>ok</div>'
+      || '<footer>(c) 2026 ' || src || '</footer></body></html>' AS html
+    FROM hdocs),
+hclean AS (
+    SELECT doc_id, regexp_replace(html, '{RE_STRIP}', '', 'g') AS clean
+    FROM hhtml),
+hnodes AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(clean, '{RE_NODE}', 0)) AS node,
+           generate_subscripts(regexp_extract_all(clean, '{RE_NODE}', 0), 1)
+               AS pos
+    FROM hclean),
+hfeat AS (
+    SELECT doc_id, pos, node,
+           node LIKE '<img%' AS is_media,
+           trim(regexp_replace(regexp_replace(node, '<[^>]*>', ' ', 'g'),
+                               '\\s+', ' ', 'g')) AS stripped,
+           coalesce(length(array_to_string(
+               regexp_extract_all(node, '{RE_LINK}', 1), '')), 0) AS link_len,
+           coalesce(regexp_extract(node, '{RE_SRC}', 1), '') AS media_src
+    FROM hnodes),
+hkept AS (
+    SELECT doc_id, pos,
+           CASE WHEN is_media THEN 'media'
+                WHEN node LIKE '<h%' THEN 'heading'
+                ELSE 'text' END AS kind,
+           CASE WHEN is_media THEN '' ELSE stripped END AS text,
+           CASE WHEN is_media THEN media_src ELSE '' END AS media_ref
+    FROM hfeat
+    WHERE is_media
+       OR (length(stripped) >= {MIN_TEXT}
+           AND 2 * link_len <= length(stripped))),
+hspans AS (
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT
+               AS "offset",
+           kind, text, media_ref
+    FROM hkept)"""
+
+
+def html_extract_sql() -> str:
+    """Exploded HTML span rows (operators/html.py html_to_spans)."""
+    return f"""WITH {_html_ctes()}
+SELECT doc_id, "offset", kind, text, media_ref FROM hspans"""
+
+
+def html_main_content_sql() -> str:
+    """Per-doc main-content rollup (operators/html.py main_content)."""
+    return f"""WITH {_html_ctes()}
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN kind <> 'media' THEN text END,
+                           ' ' ORDER BY "offset"), '') AS main_text,
+       length(coalesce(string_agg(
+           CASE WHEN kind <> 'media' THEN text END,
+           ' ' ORDER BY "offset"), ''))::BIGINT AS n_chars,
+       sum((kind = 'text')::INT)::BIGINT AS n_text,
+       sum((kind = 'heading')::INT)::BIGINT AS n_headings,
+       sum((kind = 'media')::INT)::BIGINT AS n_media
+FROM hspans GROUP BY doc_id"""
