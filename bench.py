@@ -47,6 +47,9 @@ GIANT10M_SPANS = int(os.environ.get("BENCH_GIANT10M_SPANS", "10000000"))
 MEDIA_N = int(os.environ.get("BENCH_MEDIA_N", "100000"))
 #: r5: lineage/checkpoint overhead phase (0 disables)
 LINEAGE_PHASE = int(os.environ.get("BENCH_LINEAGE", "1"))
+#: r5: HTML main-content lane phase over the sf documents table
+#: (0 disables)
+HTML_PHASE = int(os.environ.get("BENCH_HTML", "1"))
 #: r5: pinned 1-vs-4-core probe of the minhash signature stage — the
 #: measured basis for dedup executor-sizing guidance (0 disables)
 DEDUP_PROBE_DOCS = int(os.environ.get("BENCH_DEDUP_PROBE_DOCS", "100000"))
@@ -342,6 +345,48 @@ def _media_phase(spark) -> dict:
         "wall_sec_hash_fallback": round(w_nodec, 3),
         "images_per_sec_decode": round(MEDIA_N / w_dec, 1),
         "mb_per_sec_decode": round(total_mb / w_dec, 1),
+    }
+
+
+def _html_phase(spark) -> dict:
+    """HTML main-content lane (operators/html.py): strip+heuristics
+    throughput over the sf documents table, both engines. The corpus
+    (synthesized HTML) is materialized once so the timed walls measure
+    extraction regexes, not corpus synthesis; the native plan is
+    map-only (zero Exchange), so these walls scale with executor count
+    by construction."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators import html as H
+
+    tag = os.path.basename(SF_DIR.rstrip("/")) or "sf"
+    hdir = f"/tmp/bench_html_{tag}.parquet"
+    if not os.path.exists(hdir):
+        H.synth_html(
+            spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        ).write.mode("overwrite").parquet(hdir)
+    hdf = spark.read.parquet(hdir)
+    n_docs = hdf.count()
+    mb = (hdf.agg(F.sum(F.length("html"))).first()[0] or 0) / 1e6
+    n_spans = H.html_to_spans(hdf).count()
+    w_nat = min(run_to_noop(H.html_to_spans(hdf)) for _ in range(3))
+    w_arw = min(
+        run_to_noop(H.html_to_spans(hdf, engine="arrow")) for _ in range(3)
+    )
+    w_mc = min(
+        run_to_noop(H.main_content(H.html_to_spans(hdf)))
+        for _ in range(2)
+    )
+    return {
+        "n_docs": n_docs,
+        "html_mb": round(mb, 1),
+        "n_spans": int(n_spans),
+        "wall_sec_native": round(w_nat, 3),
+        "wall_sec_arrow": round(w_arw, 3),
+        "wall_sec_main_content": round(w_mc, 3),
+        "docs_per_sec_native": round(n_docs / w_nat, 1),
+        "mb_per_sec_native": round(mb / w_nat, 1),
+        "docs_per_sec_arrow": round(n_docs / w_arw, 1),
     }
 
 
@@ -761,6 +806,7 @@ def main() -> None:
     giant = _giant_phase(spark, corpus_docs) if GIANT_SPANS else None
     giant_10m = _giant10m_phase(spark) if GIANT10M_SPANS else None
     media_decode = _media_phase(spark) if MEDIA_N else None
+    html_lane = _html_phase(spark) if HTML_PHASE else None
     lineage_overhead = (
         _lineage_phase(spark, corpus_docs) if LINEAGE_PHASE else None
     )
@@ -832,6 +878,7 @@ def main() -> None:
             "giant_doc": giant,
             "giant_10m": giant_10m,
             "media_decode": media_decode,
+            "html_lane": html_lane,
             "lineage_overhead": lineage_overhead,
             "dedup_scale": dedup_scale,
             "dedup_core_probe": dedup_core,
@@ -938,6 +985,7 @@ def main() -> None:
         "giant_doc": giant,
         "giant_10m": giant_10m,
         "media_decode": media_decode,
+        "html_lane": html_lane,
         "lineage_overhead": lineage_overhead,
         "dedup_scale": dedup_scale,
         "dedup_core_probe": dedup_core,
