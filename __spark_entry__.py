@@ -613,6 +613,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_profile"] = text_profile
 
+    # — training-data: Gopher-style repetition profile (map-only plan;
+    #   pseudo-lines = 10-token chunks since the sf corpus stores text
+    #   without newlines — the oracle chunks identically) —
+    def rep_profile(spark, sf):
+        from pdf_parser_python_spark.operators.repetition import (
+            chunked_lines,
+            repetition_profile,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return repetition_profile(d, lines=chunked_lines(F.col("text"), 10))
+
+    q["rep_profile"] = rep_profile
+
+    # — training-data: benchmark decontamination (broadcast gram join);
+    #   benchmark = every 7th doc's first 12 tokens, synthesized
+    #   identically in the DuckDB oracle —
+    def _bench_set(d):
+        from pdf_parser_python_spark.operators.textstats import tokens
+
+        return d.filter(F.col("doc_id") % 7 == 0).select(
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias(
+                "text"
+            )
+        )
+
+    def decontam(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.contamination import (
+            contamination_report,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return contamination_report(d, _bench_set(d), n=8, hasher=md5_64)
+
+    q["decontam"] = decontam
+
+    def decontam_clean(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.contamination import (
+            decontaminated,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return decontaminated(d, _bench_set(d), n=8, hasher=md5_64).select(
+            "doc_id", "n_chars"
+        )
+
+    q["decontam_clean"] = decontam_clean
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1122,6 +1172,9 @@ def oracle_sql() -> dict[str, str]:
             FROM idx
         """,
         "text_profile": _oracle.text_profile_sql(),
+        "rep_profile": _oracle.repetition_sql(),
+        "decontam": _oracle.decontam_report_sql(),
+        "decontam_clean": _oracle.decontam_clean_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

@@ -1104,3 +1104,123 @@ SELECT doc_id,
        sum((kind = 'heading')::INT)::BIGINT AS n_headings,
        sum((kind = 'media')::INT)::BIGINT AS n_media
 FROM hspans GROUP BY doc_id"""
+
+
+# ═══ repetition / decontamination oracles ═════════════════════════════
+# Twins of operators/repetition.py and operators/contamination.py as
+# run by the driver queries: pseudo-lines = 10-token chunks of the RAW
+# token stream (the sf documents table has no newlines), n-grams over
+# the LOWERED token stream, md5_64 gram hashes.
+
+def repetition_sql(width: int = 10, n: int = 2) -> str:
+    """Per-doc repetition profile (rep_profile driver query)."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, text,
+           {_TOKS_RAW} AS rtoks,
+           {_TOKS_L} AS ltoks
+    FROM documents),
+lines AS (
+    SELECT doc_id, unnest(list_transform(
+               range(0, cast(ceil(len(rtoks) / {width}.0) AS INT)),
+               i -> array_to_string(rtoks[i*{width}+1:i*{width}+{width}], ' ')
+           )) AS line
+    FROM t WHERE len(rtoks) > 0),
+lstats AS (
+    SELECT doc_id,
+           count(*) AS m,
+           count(DISTINCT line) AS d,
+           sum(len(line)) AS line_chars,
+           sum(CASE WHEN cnt > 1 THEN len(line) ELSE 0 END) AS dup_chars
+    FROM (SELECT doc_id, line,
+                 count(*) OVER (PARTITION BY doc_id, line) AS cnt
+          FROM lines)
+    GROUP BY doc_id),
+grams AS (
+    SELECT doc_id, unnest(list_transform(
+               range(0, len(ltoks) - {n - 1}),
+               i -> array_to_string(ltoks[i+1:i+{n}], ' ')
+           )) AS gram
+    FROM t WHERE len(ltoks) >= {n}),
+gcnt AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+gtop AS (
+    SELECT doc_id, gram, cnt,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram DESC) AS rn
+    FROM gcnt),
+gstats AS (
+    SELECT doc_id, sum(cnt) AS g, count(*) AS gd FROM gcnt GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(l.m, 0)::BIGINT AS n_lines,
+       coalesce(round((l.m - l.d) / l.m, 4), 0.0) AS dup_line_frac,
+       coalesce(CASE WHEN l.line_chars > 0
+                     THEN round(l.dup_chars / l.line_chars, 4) END,
+                0.0) AS dup_line_char_frac,
+       coalesce(top.gram, '') AS top_ngram,
+       coalesce(CASE WHEN len(t.text) > 0
+                     THEN round(top.cnt * len(top.gram) / len(t.text), 4)
+                END, 0.0) AS top_ngram_char_frac,
+       coalesce(round((gs.g - gs.gd) / gs.g, 4), 0.0) AS dup_ngram_frac
+FROM t
+LEFT JOIN lstats l ON t.doc_id = l.doc_id
+LEFT JOIN (SELECT doc_id, gram, cnt FROM gtop WHERE rn = 1) top
+       ON t.doc_id = top.doc_id
+LEFT JOIN gstats gs ON t.doc_id = gs.doc_id"""
+
+
+#: benchmark synthesized from the corpus itself (every 7th doc's first
+#: 12 raw tokens) — mirrors the decontam driver queries exactly.
+_DECONTAM_CTES = """
+lt AS (SELECT doc_id, {toks_l} AS ltoks, {toks_raw} AS rtoks
+       FROM documents),
+bench AS (
+    SELECT array_to_string(rtoks[1:12], ' ') AS text
+    FROM lt WHERE doc_id % 7 = 0),
+btoks AS (
+    SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS btk
+    FROM bench),
+bgrams AS (
+    SELECT DISTINCT unnest(list_transform(
+               range(0, len(btk) - {n1}),
+               i -> array_to_string(btk[i+1:i+{n}], ' ')
+           )) AS gram
+    FROM btoks WHERE len(btk) >= {n}),
+bhash AS (
+    SELECT h, min(gram) AS gram
+    FROM (SELECT {hash_g} AS h, gram FROM bgrams) GROUP BY h),
+dgrams AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+               range(0, len(ltoks) - {n1}),
+               i -> array_to_string(ltoks[i+1:i+{n}], ' ')
+           )) AS gram
+    FROM lt WHERE len(ltoks) >= {n}),
+dhash AS (SELECT doc_id, {hash_g} AS h FROM dgrams),
+matched AS (
+    SELECT d.doc_id, count(*) AS n_matched_grams,
+           min(b.gram) AS sample_gram
+    FROM dhash d JOIN bhash b USING (h)
+    GROUP BY d.doc_id)"""
+
+
+def _decontam_ctes(n: int = 8) -> str:
+    return _DECONTAM_CTES.format(
+        toks_l=_TOKS_L, toks_raw=_TOKS_RAW, n=n, n1=n - 1,
+        hash_g=md5_64_sql("gram"),
+    )
+
+
+def decontam_report_sql(n: int = 8) -> str:
+    """Contaminated docs + matched-gram counts (decontam driver query)."""
+    return f"""WITH {_decontam_ctes(n)}
+SELECT doc_id, n_matched_grams::BIGINT AS n_matched_grams, sample_gram
+FROM matched"""
+
+
+def decontam_clean_sql(n: int = 8) -> str:
+    """The clean corpus after decontamination (decontam_clean query)."""
+    return f"""WITH {_decontam_ctes(n)}
+SELECT d.doc_id, d.n_chars
+FROM documents d
+ANTI JOIN matched m ON d.doc_id = m.doc_id"""

@@ -1,0 +1,213 @@
+"""Gopher-style repetition filters for training-data curation.
+
+Per-document repetition metrics (Rae et al. 2021, "Scaling Language
+Models: ... Gopher", §A1.1 repetition rules) computed entirely with
+native Column expressions and higher-order functions — the whole
+profile is MAP-ONLY (zero Exchange): every metric is a per-row array
+computation, so the stage scales linearly with executor count and
+never shuffles the corpus. Reference scope: the reference engine has
+no corpus-curation stage (its pipeline is per-PDF,
+``/root/reference/parser/engine.py``); these operators extend the
+training-data family (dedup/similarity/textstats) that a 100-TB
+deployment of this engine needs.
+
+Definitions (documented because the literature has variants):
+
+- ``dup_line_frac``     = 1 − |distinct lines| / |lines|  — the
+  fraction of line OCCURRENCES removed by per-document line-dedup.
+- ``dup_line_char_frac`` = chars in all occurrences of lines that
+  appear more than once / chars in all lines.
+- ``top_ngram_char_frac`` = count(most frequent word n-gram) ×
+  len(that n-gram) / len(text). Ties broken by (count desc, gram
+  desc) so the result is deterministic across partitionings.
+- ``dup_ngram_frac``    = 1 − |distinct n-grams| / |n-grams| over
+  the non-deduplicated n-gram sequence (a cheap, overlap-agnostic
+  stand-in for Gopher's duplicated-n-gram character fraction).
+
+Implementation note — expression-tree shape matters as much as
+asymptotics here: an earlier draft indexed into the sorted array from
+``F.transform``/``F.filter`` lambdas (``F.get(sorted, i ± 1)``), which
+textually re-inlines the sort-of-ngrams subtree at every reference;
+the nested-HOF tree grew combinatorially and Catalyst analysis alone
+ran for minutes on a 500-row input. Both duplicate metrics are instead
+single-pass ``F.aggregate`` run-length scans over the sorted array —
+ONE reference per subtree, linear tree, O(L log L) per row (the sort
+dominates), and the whole profile analyzes in milliseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def word_ngrams(col: Column, n: int = 2) -> Column:
+    """Ordered, NON-deduplicated word n-grams of the lowered text
+    (contrast ``textstats.shingles``, which deduplicates for set
+    semantics). Fewer than ``n`` tokens → empty array."""
+    toks = tokens(F.lower(col))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(cnt >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def chunked_lines(col: Column, width: int = 10) -> Column:
+    """Deterministic pseudo-lines: the token stream re-chunked into
+    ``width``-token lines. Used when a corpus stores text without
+    newlines (the sf test tables) so line-level metrics stay
+    meaningful; a real corpus passes its own ``\\n`` lines instead."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    n_chunks = F.ceil(cnt / F.lit(width)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    return F.when(cnt > 0, chunks).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_char_scan(sorted_arr: Column) -> Column:
+    """Total characters in all occurrences of values appearing more
+    than once in ``sorted_arr`` — one run-length pass, no indexing
+    back into the array. On the 2nd occurrence of a run the 1st is
+    retro-credited (+2·len), later occurrences add +len."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = (acc["run"] > 0) & (acc["prev"] == x)
+        add = (
+            F.when(same & (acc["run"] == 1), F.length(x) * 2)
+            .when(same, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (acc["dup"] + add).alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["dup"])
+
+
+def _top_run_scan(sorted_arr: Column) -> Column:
+    """``struct(cnt, gram)`` of the longest run in ``sorted_arr``
+    (= the modal value), ties broken (cnt desc, gram desc) by struct
+    comparison. The running max over per-prefix run lengths equals the
+    max over complete runs because every full run's end point is
+    visited. Empty array → (0, '')."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.struct(F.lit(0).alias("cnt"), F.lit("").alias("gram")).alias(
+            "best"
+        ),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run2 = F.when(
+            (acc["run"] > 0) & (acc["prev"] == x), acc["run"] + 1
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(
+                acc["best"], F.struct(run2.alias("cnt"), x.alias("gram"))
+            ).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def line_repetition(lines: Column) -> dict[str, Column]:
+    """``{n_lines, dup_line_frac, dup_line_char_frac}`` over a line
+    array (empty/blank lines are the caller's business — filter them
+    upstream if unwanted). Zero lines → fractions 0.0."""
+    m = F.size(lines)
+    dup_chars = _dup_char_scan(F.sort_array(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    zero = F.lit(0.0)
+    return {
+        "n_lines": m.cast("bigint"),
+        "dup_line_frac": F.when(
+            m > 0, F.round((m - F.size(F.array_distinct(lines))) / m, 4)
+        ).otherwise(zero),
+        "dup_line_char_frac": F.when(
+            total_chars > 0, F.round(dup_chars / total_chars, 4)
+        ).otherwise(zero),
+    }
+
+
+def ngram_repetition(
+    col: Column, n: int = 2, grams: Column | None = None
+) -> dict[str, Column]:
+    """``{top_ngram, top_ngram_char_frac, dup_ngram_frac}`` for word
+    n-grams of ``col``; pass a pre-staged ``grams`` column to avoid
+    re-deriving the array per reference."""
+    if grams is None:
+        grams = word_ngrams(col, n)
+    g_cnt = F.size(grams)
+    top = _top_run_scan(F.sort_array(grams))
+    n_chars = F.length(col)
+    zero = F.lit(0.0)
+    return {
+        "top_ngram": F.when(g_cnt > 0, top["gram"]).otherwise(F.lit("")),
+        "top_ngram_char_frac": F.when(
+            (g_cnt > 0) & (n_chars > 0),
+            F.round(top["cnt"] * F.length(top["gram"]) / n_chars, 4),
+        ).otherwise(zero),
+        "dup_ngram_frac": F.when(
+            g_cnt > 0,
+            F.round((g_cnt - F.size(F.array_distinct(grams))) / g_cnt, 4),
+        ).otherwise(zero),
+    }
+
+
+def repetition_profile(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    lines: Column | None = None,
+) -> DataFrame:
+    """One row per document with the full repetition profile.
+
+    ``lines`` defaults to splitting ``text_col`` on ``\\n`` (blank
+    lines dropped); pass :func:`chunked_lines` (or any array<string>
+    Column) for corpora without newlines. Plan shape: map-only — a
+    single projection over the scan, zero Exchange; safe to run as the
+    first pass over a 100-TB corpus. The array expressions are staged
+    through named intermediate columns so each is analyzed and (when
+    codegen'd) evaluated once per row, not once per reference."""
+    # null text ≡ empty doc (metrics 0.0, not null) — matches the SQL
+    # oracle's coalesce semantics and keeps the profile total.
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if lines is None:
+        lines = F.filter(
+            F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    staged = documents.select(
+        "doc_id", c.alias("_text"), lines.alias("_lns"),
+        word_ngrams(c, n).alias("_grams"),
+    )
+    lr = line_repetition(F.col("_lns"))
+    nr = ngram_repetition(F.col("_text"), n, grams=F.col("_grams"))
+    return staged.select(
+        "doc_id",
+        lr["n_lines"].alias("n_lines"),
+        lr["dup_line_frac"].alias("dup_line_frac"),
+        lr["dup_line_char_frac"].alias("dup_line_char_frac"),
+        nr["top_ngram"].alias("top_ngram"),
+        nr["top_ngram_char_frac"].alias("top_ngram_char_frac"),
+        nr["dup_ngram_frac"].alias("dup_ngram_frac"),
+    )
