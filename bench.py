@@ -47,6 +47,7 @@ GIANT10M_SPANS = int(os.environ.get("BENCH_GIANT10M_SPANS", "10000000"))
 MEDIA_N = int(os.environ.get("BENCH_MEDIA_N", "100000"))
 #: r5: lineage/checkpoint overhead phase (0 disables)
 LINEAGE_PHASE = int(os.environ.get("BENCH_LINEAGE", "1"))
+CURATION_PHASE = int(os.environ.get("BENCH_CURATION", "1"))
 #: r5: HTML main-content lane phase over the sf documents table
 #: (0 disables)
 HTML_PHASE = int(os.environ.get("BENCH_HTML", "1"))
@@ -489,6 +490,59 @@ def _dedup_core_probe() -> dict | None:
     }
 
 
+def _curation_phase(spark) -> dict:
+    """r5: the curation family at DEDUP_DOCS rows over the same textgen
+    corpus as the dedup phase — repetition profile (map-only) and
+    benchmark decontamination (broadcast gram join). The benchmark set
+    is 2,000 prompts carved from the corpus itself (every 500th doc's
+    first 12 tokens), so contaminated-doc counts are self-checking:
+    every source doc must match."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators.contamination import (
+        contamination_report,
+        decontaminated,
+    )
+    from pdf_parser_python_spark.operators.repetition import (
+        chunked_lines,
+        repetition_profile,
+    )
+    from pdf_parser_python_spark.operators.textstats import tokens
+    from pdf_parser_python_spark.sources import textgen
+
+    if not os.path.exists(DEDUP_DOCS_DIR):
+        textgen.dedup_bench_corpus(spark, DEDUP_DOCS).write.mode(
+            "overwrite"
+        ).parquet(DEDUP_DOCS_DIR)
+    docs = spark.read.parquet(DEDUP_DOCS_DIR)
+    n_docs = docs.count()
+
+    rep = repetition_profile(docs, lines=chunked_lines(F.col("text"), 10))
+    w_rep = min(run_to_noop(rep) for _ in range(2))
+
+    bench = docs.where(F.col("doc_id") % 500 == 0).select(
+        F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text")
+    )
+    n_bench = bench.count()
+    t0 = time.time()
+    n_contam = contamination_report(docs, bench).count()
+    w_contam = time.time() - t0
+    t0 = time.time()
+    n_clean = decontaminated(docs, bench).count()
+    w_clean = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "n_benchmark_prompts": int(n_bench),
+        "wall_sec_repetition": round(w_rep, 2),
+        "docs_per_sec_repetition": round(n_docs / w_rep, 1),
+        "wall_sec_decontam_report": round(w_contam, 2),
+        "wall_sec_decontam_clean": round(w_clean, 2),
+        "n_contaminated": int(n_contam),
+        "n_clean": int(n_clean),
+        "partition_check": bool(n_contam + n_clean == n_docs),
+    }
+
+
 def _dedup_phase(spark) -> dict:
     """VERDICT r3 item 1: the dedup/ANN family at DEDUP_DOCS rows over
     a corpus with a planted 10⁵-member mega-cluster and 10⁴ planted
@@ -811,6 +865,9 @@ def main() -> None:
         _lineage_phase(spark, corpus_docs) if LINEAGE_PHASE else None
     )
     dedup_scale = _dedup_phase(spark) if DEDUP_DOCS else None
+    curation = (
+        _curation_phase(spark) if (CURATION_PHASE and DEDUP_DOCS) else None
+    )
     spark.stop()
     # pinned subprocess probes need the parent session gone
     dedup_core = _dedup_core_probe() if DEDUP_PROBE_DOCS else None
@@ -881,6 +938,7 @@ def main() -> None:
             "html_lane": html_lane,
             "lineage_overhead": lineage_overhead,
             "dedup_scale": dedup_scale,
+            "curation": curation,
             "dedup_core_probe": dedup_core,
             "extraction": {
                 "corpus_docs": n_docs, "corpus_spans": int(n_spans),
@@ -988,6 +1046,7 @@ def main() -> None:
         "html_lane": html_lane,
         "lineage_overhead": lineage_overhead,
         "dedup_scale": dedup_scale,
+        "curation": curation,
         "dedup_core_probe": dedup_core,
         "extraction": {
             "corpus_docs": n_docs,
