@@ -663,6 +663,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontam_clean"] = decontam_clean
 
+    # — training-data: PII scrub (counts + fixed-order redaction);
+    #   PII synthesized deterministically from doc_id since the sf
+    #   corpus has none — identical expression in the oracle —
+    def pii_scrub(spark, sf):
+        from pdf_parser_python_spark.operators.redact import pii_profile
+
+        d = _docs(spark, sf, "documents")
+        did = F.col("doc_id")
+
+        def when_mod(m, expr):
+            return F.when(did % m == 0, expr).otherwise(F.lit(""))
+
+        pii_text = F.concat(
+            F.col("text"),
+            when_mod(
+                3,
+                F.concat(
+                    F.lit(" reach user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ),
+            when_mod(
+                5,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+            when_mod(
+                7,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ),
+            when_mod(
+                11,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ),
+        )
+        return pii_profile(d.withColumn("text", pii_text))
+
+    q["pii_scrub"] = pii_scrub
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1175,6 +1224,7 @@ def oracle_sql() -> dict[str, str]:
         "rep_profile": _oracle.repetition_sql(),
         "decontam": _oracle.decontam_report_sql(),
         "decontam_clean": _oracle.decontam_clean_sql(),
+        "pii_scrub": _oracle.pii_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

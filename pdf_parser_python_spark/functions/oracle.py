@@ -1224,3 +1224,45 @@ def decontam_clean_sql(n: int = 8) -> str:
 SELECT d.doc_id, d.n_chars
 FROM documents d
 ANTI JOIN matched m ON d.doc_id = m.doc_id"""
+
+
+# ═══ PII redaction oracle ═════════════════════════════════════════════
+
+def pii_sql() -> str:
+    """Twin of the pii_scrub driver query: PII synthesized from doc_id
+    (the sf corpus has none), then operators/redact.py's counts +
+    fixed-order redaction. Patterns are imported from the operator so
+    the two sides cannot drift."""
+    from ..operators.redact import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    toks = {k: t for k, _, t in PII_PATTERNS}
+    red = "text"
+    for k, p, t in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '{t}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pats[k]}'))::BIGINT AS n_{k}"
+        for k in pats
+    )
+    return f"""
+WITH pii AS (
+    SELECT doc_id, text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' reach user' || doc_id || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-123-' ||
+                     lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+                ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' ssn 123-45-' ||
+                     lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                ELSE '' END AS text
+    FROM documents)
+SELECT doc_id,
+       {counts},
+       {red} AS redacted
+FROM pii"""
