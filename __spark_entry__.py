@@ -712,6 +712,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_scrub"] = pii_scrub
 
+    # — training-data: composite curation gate (quality + lang +
+    #   repetition rules, one map-only projection) —
+    def curation_gate(spark, sf):
+        from pdf_parser_python_spark.operators.curation import curation_filter
+        from pdf_parser_python_spark.operators.repetition import chunked_lines
+
+        d = _docs(spark, sf, "documents")
+        return curation_filter(d, lines=chunked_lines(F.col("text"), 10))
+
+    q["curation_gate"] = curation_gate
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1225,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": _oracle.decontam_report_sql(),
         "decontam_clean": _oracle.decontam_clean_sql(),
         "pii_scrub": _oracle.pii_sql(),
+        "curation_gate": _oracle.curation_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

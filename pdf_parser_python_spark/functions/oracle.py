@@ -1266,3 +1266,37 @@ SELECT doc_id,
        {counts},
        {red} AS redacted
 FROM pii"""
+
+
+def curation_sql(
+    min_quality: int = 70,
+    langs: tuple[str, ...] = ("en",),
+    max_dup_line_frac: float = 0.2,
+    max_top_ngram_char_frac: float = 0.12,
+    min_tokens: int = 20,
+) -> str:
+    """Twin of operators/curation.py::curation_filter as run by the
+    curation_gate driver query (chunked 10-token pseudo-lines, n=2)."""
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    return f"""
+WITH rmet AS ({repetition_sql()}),
+qmet AS ({text_profile_sql()}),
+joined AS (
+    SELECT r.doc_id, q.quality, q.lang_guess, q.n_tokens,
+           r.dup_line_frac, r.top_ngram_char_frac
+    FROM rmet r JOIN qmet q USING (doc_id)),
+verdict AS (
+    SELECT *,
+           concat_ws(',',
+               CASE WHEN quality < {min_quality} THEN 'low_quality' END,
+               CASE WHEN lang_guess NOT IN ({lang_list}) THEN 'lang' END,
+               CASE WHEN dup_line_frac > {max_dup_line_frac}
+                    THEN 'dup_lines' END,
+               CASE WHEN top_ngram_char_frac > {max_top_ngram_char_frac}
+                    THEN 'repetitive_ngram' END,
+               CASE WHEN n_tokens < {min_tokens} THEN 'too_short' END
+           ) AS reasons
+    FROM joined)
+SELECT doc_id, quality, lang_guess, n_tokens, dup_line_frac,
+       top_ngram_char_frac, reasons, (reasons = '') AS keep
+FROM verdict"""

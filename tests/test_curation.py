@@ -1,0 +1,61 @@
+"""Composite curation gate: each rule fires on a crafted doc, the
+verdict composes, and the plan stays map-only."""
+
+from pyspark.sql import functions as F
+
+from pdf_parser_python_spark.operators.curation import RULES, curation_filter
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog and then runs far "
+    "away into the quiet green hills. It was a calm day for the fox "
+    "and everything that is good stayed good for a while longer. "
+    "The sun set in the west and the night came softly to the land."
+)
+
+
+def test_each_rule_fires_and_good_doc_keeps(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, GOOD),
+            (1, "el la de que los una por con para " * 9),  # es stopwords
+            (2, GOOD + "\nsame line\nsame line\nsame line\nsame line"
+                + "\nsame line\nsame line\nsame line\nsame line"
+                + "\nsame line\nsame line\nsame line\nsame line"),
+            (3, ("the fox " * 60) + GOOD),  # repetitive bigram
+            (4, "too few tokens here."),
+            (5, "@@ ## $$ %% ^^ && ** (( )) !! " * 8),  # punct flood
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation_filter(docs, min_quality=60).collect()
+    }
+    assert out[0]["keep"] and out[0]["reasons"] == ""
+    assert "lang" in out[1]["reasons"]
+    assert "dup_lines" in out[2]["reasons"]
+    assert "repetitive_ngram" in out[3]["reasons"]
+    assert "too_short" in out[4]["reasons"]
+    assert "low_quality" in out[5]["reasons"]
+    for d in (1, 2, 3, 4, 5):
+        assert not out[d]["keep"]
+
+
+def test_reasons_fixed_order_and_compose(spark):
+    bad = "zz qq " * 5  # short, non-lang, repetitive, low quality
+    docs = spark.createDataFrame([(1, bad)], "doc_id long, text string")
+    row = curation_filter(docs).first()
+    got = row["reasons"].split(",")
+    # every fired reason appears in RULES order
+    assert got == [r for r in RULES if r in got]
+    assert len(got) >= 3 and not row["keep"]
+
+
+def test_curation_plan_is_map_only(spark):
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(GOOD).alias("text")
+    )
+    plan = (
+        curation_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
