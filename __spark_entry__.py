@@ -627,6 +627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rep_profile"] = rep_profile
 
+    def rep_profile_vec(spark, sf):
+        # Arrow-batched twin, hash-checked against the SAME oracle
+        from pdf_parser_python_spark.operators.repetition import (
+            repetition_profile_arrow,
+        )
+
+        _ensure_shipped(spark)
+        d = _docs(spark, sf, "documents")
+        return repetition_profile_arrow(d, line_width=10)
+
+    q["rep_profile_vec"] = rep_profile_vec
+
     # — training-data: benchmark decontamination (broadcast gram join);
     #   benchmark = every 7th doc's first 12 tokens, synthesized
     #   identically in the DuckDB oracle —
@@ -1233,6 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": _oracle.text_profile_sql(),
         "rep_profile": _oracle.repetition_sql(),
+        "rep_profile_vec": _oracle.repetition_sql(),
         "decontam": _oracle.decontam_report_sql(),
         "decontam_clean": _oracle.decontam_clean_sql(),
         "pii_scrub": _oracle.pii_sql(),

@@ -519,6 +519,13 @@ def _curation_phase(spark) -> dict:
 
     rep = repetition_profile(docs, lines=chunked_lines(F.col("text"), 10))
     w_rep = min(run_to_noop(rep) for _ in range(2))
+    from pdf_parser_python_spark.operators.repetition import (
+        repetition_profile_arrow,
+    )
+    w_rep_arw = min(
+        run_to_noop(repetition_profile_arrow(docs, line_width=10))
+        for _ in range(2)
+    )
 
     bench = docs.where(F.col("doc_id") % 500 == 0).select(
         F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text")
@@ -535,6 +542,8 @@ def _curation_phase(spark) -> dict:
         "n_benchmark_prompts": int(n_bench),
         "wall_sec_repetition": round(w_rep, 2),
         "docs_per_sec_repetition": round(n_docs / w_rep, 1),
+        "wall_sec_repetition_arrow": round(w_rep_arw, 2),
+        "docs_per_sec_repetition_arrow": round(n_docs / w_rep_arw, 1),
         "wall_sec_decontam_report": round(w_contam, 2),
         "wall_sec_decontam_clean": round(w_clean, 2),
         "n_contaminated": int(n_contam),

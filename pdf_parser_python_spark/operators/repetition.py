@@ -173,6 +173,114 @@ def ngram_repetition(
     }
 
 
+#: Java-regex parity for the Arrow twin: Spark's ``\s`` is the ASCII
+#: set [ \t\n\x0B\f\r] (Python re's \s is Unicode-aware and wider),
+#: and Java String.trim() strips every codepoint ≤ U+0020.
+_JAVA_WS = " \t\n\x0b\f\r"
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+
+
+def repetition_profile_arrow(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    line_width: int | None = None,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`repetition_profile`: the same
+    metrics computed in a ``mapInPandas`` kernel (tokenize + Counter
+    per doc — tiny per-doc state, so plain Python beats the
+    interpreted-HOF sort path — measured 10×: 3.6 s vs 35.9 s at 10⁶
+    docs on local[32], BENCH.md; prefer this engine in the hot path,
+    the native form remains the zero-Python declarative spec).
+    ``line_width`` mirrors :func:`chunked_lines`; ``None`` = split on
+    ``\\n``. Fractions are returned RAW from the kernel and rounded by
+    native ``F.round`` outside it, so the value path through IEEE754 →
+    HALF_UP is bit-identical to the native engine and the SQL oracle.
+    Plan: one MapInPandas, zero Exchange."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ws_re = _re.compile(f"[{_re.escape(_JAVA_WS)}]+")
+    out_schema = StructType(
+        [
+            StructField("doc_id", documents.schema[ "doc_id"].dataType),
+            StructField("n_lines", LongType()),
+            StructField("_dlf", DoubleType()),
+            StructField("_dlcf", DoubleType()),
+            StructField("top_ngram", StringType()),
+            StructField("_tncf", DoubleType()),
+            StructField("_dnf", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_lines", "_dlf", "_dlcf", "top_ngram",
+                    "_tncf", "_dnf")}
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                text = text if isinstance(text, str) else ""
+                stripped = text.strip(_JAVA_TRIM)
+                toks = [t for t in ws_re.split(stripped) if t] if stripped else []
+                if line_width is None:
+                    lines = [ln.strip(_JAVA_TRIM) for ln in text.split("\n")]
+                    lines = [ln for ln in lines if ln]
+                else:
+                    lines = [
+                        " ".join(toks[i : i + line_width])
+                        for i in range(0, len(toks), line_width)
+                    ]
+                m = len(lines)
+                lc = Counter(lines)
+                total = sum(map(len, lines))
+                dupc = sum(len(x) for x in lines if lc[x] > 1)
+                ltoks = [t for t in ws_re.split(
+                    text.lower().strip(_JAVA_TRIM)) if t] if stripped else []
+                grams = [
+                    " ".join(ltoks[i : i + n])
+                    for i in range(len(ltoks) - n + 1)
+                ]
+                if grams:
+                    gc = Counter(grams)
+                    bc, bg = max(((c, g) for g, c in gc.items()))
+                    tncf = bc * len(bg) / len(text) if text else 0.0
+                    dnf = (len(grams) - len(gc)) / len(grams)
+                else:
+                    bg, tncf, dnf = "", 0.0, 0.0
+                out["doc_id"].append(doc_id)
+                out["n_lines"].append(m)
+                out["_dlf"].append((m - len(lc)) / m if m else 0.0)
+                out["_dlcf"].append(dupc / total if total else 0.0)
+                out["top_ngram"].append(bg)
+                out["_tncf"].append(tncf)
+                out["_dnf"].append(dnf)
+            yield pd.DataFrame(out)
+
+    raw = documents.select("doc_id", text_col).mapInPandas(
+        kernel, out_schema
+    )
+    return raw.select(
+        "doc_id",
+        "n_lines",
+        F.round("_dlf", 4).alias("dup_line_frac"),
+        F.round("_dlcf", 4).alias("dup_line_char_frac"),
+        "top_ngram",
+        F.round("_tncf", 4).alias("top_ngram_char_frac"),
+        F.round("_dnf", 4).alias("dup_ngram_frac"),
+    )
+
+
 def repetition_profile(
     documents: DataFrame,
     text_col: str = "text",

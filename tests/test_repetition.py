@@ -220,3 +220,31 @@ def test_null_text_yields_zero_metrics(spark):
         assert rows[d]["dup_line_frac"] == 0.0
         assert rows[d]["top_ngram"] == ""
         assert rows[d]["dup_ngram_frac"] == 0.0
+
+
+def test_arrow_twin_matches_native_both_modes(spark):
+    from pdf_parser_python_spark.operators.repetition import (
+        repetition_profile_arrow,
+    )
+
+    rng = random.Random(19)
+    rows = [(i, _rand_text(rng)) for i in range(100)]
+    rows += [(900, ""), (901, None), (902, "a a a a a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nat = {r["doc_id"]: r.asDict() for r in repetition_profile(df).collect()}
+    arw = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile_arrow(df).collect()
+    }
+    assert nat == arw
+    nat2 = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile(
+            df, lines=chunked_lines(F.col("text"), 10)
+        ).collect()
+    }
+    arw2 = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_profile_arrow(df, line_width=10).collect()
+    }
+    assert nat2 == arw2
