@@ -735,6 +735,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_gate"] = curation_gate
 
+    # — training-data: corpus-wide paragraph dedup (first occurrence
+    #   wins, docs reassembled in order; pseudo-paragraphs = 15-token
+    #   chunks since the sf corpus has no separators) —
+    def para_dedup(spark, sf):
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.dedup import paragraph_dedup
+        from pdf_parser_python_spark.operators.repetition import chunked_lines
+
+        d = _docs(spark, sf, "documents")
+        return paragraph_dedup(
+            d,
+            paragraphs=chunked_lines(F.col("text"), 15),
+            hasher=md5_64,
+            out_sep=" | ",
+        )
+
+    q["para_dedup"] = para_dedup
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1250,6 +1268,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_clean": _oracle.decontam_clean_sql(),
         "pii_scrub": _oracle.pii_sql(),
         "curation_gate": _oracle.curation_sql(),
+        "para_dedup": _oracle.paragraph_dedup_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

@@ -537,9 +537,23 @@ def _curation_phase(spark) -> dict:
     t0 = time.time()
     n_clean = decontaminated(docs, bench).count()
     w_clean = time.time() - t0
+    from pdf_parser_python_spark.operators.dedup import paragraph_dedup
+
+    pd_df = paragraph_dedup(
+        docs, paragraphs=chunked_lines(F.col("text"), 15)
+    )
+    t0 = time.time()
+    tot = pd_df.agg(
+        F.sum("n_paras").alias("p"), F.sum("n_kept").alias("k")
+    ).first()
+    w_pdedup = time.time() - t0
     return {
         "n_docs": n_docs,
         "n_benchmark_prompts": int(n_bench),
+        "wall_sec_paragraph_dedup": round(w_pdedup, 2),
+        "n_paragraphs": int(tot["p"]),
+        "n_paragraphs_kept": int(tot["k"]),
+        "paragraph_survival": round(tot["k"] / tot["p"], 4),
         "wall_sec_repetition": round(w_rep, 2),
         "docs_per_sec_repetition": round(n_docs / w_rep, 1),
         "wall_sec_repetition_arrow": round(w_rep_arw, 2),

@@ -1300,3 +1300,39 @@ verdict AS (
 SELECT doc_id, quality, lang_guess, n_tokens, dup_line_frac,
        top_ngram_char_frac, reasons, (reasons = '') AS keep
 FROM verdict"""
+
+
+def paragraph_dedup_sql(width: int = 15) -> str:
+    """Twin of dedup.paragraph_dedup as run by the para_dedup driver
+    query (pseudo-paragraphs = width-token chunks, md5 hashing,
+    ' | ' output separator). The operator's min(struct) winner equals
+    row_number()=1 under (doc_id, pos) order — keys are unique."""
+    h = md5_64_sql("para")
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents),
+p0 AS (
+    SELECT doc_id, toks,
+           unnest(range(0, cast(ceil(len(toks) / {width}.0) AS INT)))
+               AS pos
+    FROM t WHERE len(toks) > 0),
+paras AS (
+    SELECT doc_id, pos::INT AS pos,
+           array_to_string(toks[pos*{width}+1:pos*{width}+{width}], ' ')
+               AS para
+    FROM p0),
+ranked AS (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY {h}
+                              ORDER BY doc_id, pos) AS rn
+    FROM paras),
+rebuilt AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(para, ' | ' ORDER BY pos) AS text_deduped
+    FROM ranked WHERE rn = 1 GROUP BY doc_id)
+SELECT t.doc_id,
+       CASE WHEN len(toks) > 0
+            THEN cast(ceil(len(toks) / {width}.0) AS BIGINT)
+            ELSE 0 END AS n_paras,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(r.text_deduped, '') AS text_deduped
+FROM t LEFT JOIN rebuilt r USING (doc_id)"""

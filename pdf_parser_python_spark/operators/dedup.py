@@ -634,3 +634,73 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+def paragraph_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n\n",
+    paragraphs: Column | None = None,
+    hasher: Hasher = xx64,
+    out_sep: str | None = None,
+) -> DataFrame:
+    """Corpus-WIDE paragraph dedup (the MassiveText/Dolma boilerplate
+    pass): every later occurrence of a paragraph already seen anywhere
+    in the corpus is dropped; the first occurrence — ordered by
+    (doc_id, position) — survives, and each document is reassembled
+    from its surviving paragraphs in original order.
+
+    ``paragraphs`` overrides the default ``sep`` split with any
+    array<string> Column (e.g. chunked pseudo-paragraphs for corpora
+    without separators); ``out_sep`` defaults to ``sep``.
+
+    Scale shape — deliberately NOT a row_number window over the
+    paragraph hash: the motivating input is one boilerplate paragraph
+    duplicated 10⁸-10⁹ times, and a window would ship every copy to a
+    single partition. Instead the winner per hash is
+    ``min(struct(doc_id, pos))`` — a hash aggregation with map-side
+    partial combine, so the mega-duplicate collapses to one row per
+    map task before the shuffle — followed by an equi-join back on the
+    near-unique (hash, doc_id, pos) triple and one groupBy(doc_id)
+    reassembly. Three skew-proof exchanges total.
+
+    Returns ``doc_id, n_paras, n_kept, text_deduped`` (documents with
+    zero paragraphs survive with empty text)."""
+    if out_sep is None:
+        out_sep = sep
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    if paragraphs is None:
+        paragraphs = F.filter(
+            F.transform(F.split(c, F.lit(sep), -1), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    paras = documents.select(
+        "doc_id", F.posexplode(paragraphs).alias("pos", "para")
+    ).withColumn("ph", hasher(F.col("para"), 0))
+    winners = paras.groupBy("ph").agg(
+        F.min(F.struct("doc_id", "pos")).alias("w")
+    ).select("ph", F.col("w.doc_id").alias("doc_id"),
+             F.col("w.pos").alias("pos"))
+    kept = paras.join(winners, ["ph", "doc_id", "pos"])
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            out_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_deduped"),
+    )
+    base = documents.select(
+        "doc_id", F.size(paragraphs).cast("bigint").alias("n_paras")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

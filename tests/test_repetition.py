@@ -248,3 +248,40 @@ def test_arrow_twin_matches_native_both_modes(spark):
         for r in repetition_profile_arrow(df, line_width=10).collect()
     }
     assert nat2 == arw2
+
+
+def test_paragraph_dedup_first_wins_and_rebuilds(spark):
+    from pdf_parser_python_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\n\nboiler plate\n\nkeep two"),
+            (2, "boiler plate\n\nfresh text"),   # loses the boilerplate
+            (3, "boiler plate"),                  # loses everything
+            (4, ""),
+            (5, "boiler plate\n\nboiler plate\n\nown text"),  # in-doc dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert got[1]["text_deduped"] == "keep one\n\nboiler plate\n\nkeep two"
+    assert got[1]["n_paras"] == 3 and got[1]["n_kept"] == 3
+    assert got[2]["text_deduped"] == "fresh text"
+    assert got[3]["text_deduped"] == "" and got[3]["n_kept"] == 0
+    assert got[4]["n_paras"] == 0 and got[4]["text_deduped"] == ""
+    assert got[5]["text_deduped"] == "own text"
+
+
+def test_paragraph_dedup_plan_avoids_hash_window(spark):
+    # the winner must be an aggregation (map-side combinable), never a
+    # row_number window over the paragraph hash (mega-dup skew hazard)
+    from pdf_parser_python_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("a\n\nb\n\nc").alias("text")
+    )
+    plan = (
+        paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
