@@ -753,6 +753,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["para_dedup"] = para_dedup
 
+    # — training-data: corpus-level boilerplate discovery (top n-grams) —
+    def top_ngrams(spark, sf):
+        from pdf_parser_python_spark.operators.repetition import (
+            corpus_top_ngrams,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return corpus_top_ngrams(d, n=3, k=100)
+
+    q["top_ngrams"] = top_ngrams
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1269,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle.pii_sql(),
         "curation_gate": _oracle.curation_sql(),
         "para_dedup": _oracle.paragraph_dedup_sql(),
+        "top_ngrams": _oracle.top_ngrams_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

@@ -1336,3 +1336,20 @@ SELECT t.doc_id,
        coalesce(r.n_kept, 0)::BIGINT AS n_kept,
        coalesce(r.text_deduped, '') AS text_deduped
 FROM t LEFT JOIN rebuilt r USING (doc_id)"""
+
+
+def top_ngrams_sql(n: int = 3, k: int = 100, min_count: int = 2) -> str:
+    """Twin of repetition.corpus_top_ngrams (top_ngrams driver query)."""
+    return f"""
+WITH t AS (SELECT {_TOKS_L} AS ltoks FROM documents),
+grams AS (
+    SELECT unnest(list_transform(
+               range(0, len(ltoks) - {n - 1}),
+               i -> array_to_string(ltoks[i+1:i+{n}], ' ')
+           )) AS gram
+    FROM t WHERE len(ltoks) >= {n})
+SELECT gram, count(*)::BIGINT AS cnt
+FROM grams GROUP BY gram
+HAVING count(*) >= {min_count}
+ORDER BY cnt DESC, gram
+LIMIT {k}"""

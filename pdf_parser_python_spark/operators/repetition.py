@@ -319,3 +319,30 @@ def repetition_profile(
         nr["top_ngram_char_frac"].alias("top_ngram_char_frac"),
         nr["dup_ngram_frac"].alias("dup_ngram_frac"),
     )
+
+
+def corpus_top_ngrams(
+    documents: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 100,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-LEVEL most frequent word n-grams — the boilerplate
+    discovery pass that feeds :func:`~..dedup.paragraph_dedup` and
+    filter-rule authoring. Shape: explode → hash-aggregate (map-side
+    partial combine absorbs the skew of a dominant boilerplate gram) →
+    ``TakeOrderedAndProject`` for the global top-k (never a global
+    sort). Ties broken (count desc, gram asc) for determinism."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    grams = documents.select(
+        F.explode(word_ngrams(c, n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return (
+        counts.where(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )

@@ -285,3 +285,23 @@ def test_paragraph_dedup_plan_avoids_hash_window(spark):
     )
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_corpus_top_ngrams_counts_and_plan(spark):
+    from pdf_parser_python_spark.operators.repetition import corpus_top_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to buy now and click here to win"),
+            (2, "click here to see more text about things"),
+            (3, "totally unrelated words without repeats whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    top = corpus_top_ngrams(docs, n=3, k=5).collect()
+    assert top[0]["gram"] == "click here to" and top[0]["cnt"] == 3
+    assert all(top[i]["cnt"] >= top[i + 1]["cnt"] for i in range(len(top) - 1))
+    plan = (
+        corpus_top_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a global sort
