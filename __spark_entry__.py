@@ -5,7 +5,7 @@ deterministically from ``sf0.001/documents.parquet`` (native Column
 ops only, BASELINE.json input_hint shape).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2 (+ training-data ops). All 61 queries carry a full
+from SURVEY.md §2 (+ training-data ops). All 69 queries carry a full
 DuckDB oracle, INCLUDING the stateful-FSM extraction queries (the FSM
 decomposes into window cumsums + ordered string_agg —
 functions/oracle.py), the anchor-chunked giant-doc engine (checked
