@@ -735,6 +735,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_gate"] = curation_gate
 
+    def curation_gate_vec(spark, sf):
+        # arrow-engine twin (native quality/lang ride through the
+        # kernel as passthrough columns) — same oracle
+        from pdf_parser_python_spark.operators.curation import curation_filter
+
+        _ensure_shipped(spark)
+        d = _docs(spark, sf, "documents")
+        return curation_filter(d, engine="arrow", line_width=10)
+
+    q["curation_gate_vec"] = curation_gate_vec
+
     # — training-data: corpus-wide paragraph dedup (first occurrence
     #   wins, docs reassembled in order; pseudo-paragraphs = 15-token
     #   chunks since the sf corpus has no separators) —
@@ -1279,6 +1290,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_clean": _oracle.decontam_clean_sql(),
         "pii_scrub": _oracle.pii_sql(),
         "curation_gate": _oracle.curation_sql(),
+        "curation_gate_vec": _oracle.curation_sql(),
         "para_dedup": _oracle.paragraph_dedup_sql(),
         "top_ngrams": _oracle.top_ngrams_sql(),
         "a1_duplicates": """

@@ -537,6 +537,20 @@ def _curation_phase(spark) -> dict:
     t0 = time.time()
     n_clean = decontaminated(docs, bench).count()
     w_clean = time.time() - t0
+    from pdf_parser_python_spark.operators.curation import curation_filter
+    from pdf_parser_python_spark.operators.redact import pii_profile
+
+    w_pii = min(run_to_noop(pii_profile(docs)) for _ in range(2))
+    w_gate = min(
+        run_to_noop(
+            curation_filter(docs, lines=chunked_lines(F.col("text"), 10))
+        )
+        for _ in range(2)
+    )
+    w_gate_arw = min(
+        run_to_noop(curation_filter(docs, engine="arrow", line_width=10))
+        for _ in range(2)
+    )
     from pdf_parser_python_spark.operators.dedup import paragraph_dedup
 
     pd_df = paragraph_dedup(
@@ -550,6 +564,9 @@ def _curation_phase(spark) -> dict:
     return {
         "n_docs": n_docs,
         "n_benchmark_prompts": int(n_bench),
+        "wall_sec_pii_profile": round(w_pii, 2),
+        "wall_sec_curation_gate": round(w_gate, 2),
+        "wall_sec_curation_gate_arrow": round(w_gate_arw, 2),
         "wall_sec_paragraph_dedup": round(w_pdedup, 2),
         "n_paragraphs": int(tot["p"]),
         "n_paragraphs_kept": int(tot["k"]),

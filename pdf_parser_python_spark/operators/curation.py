@@ -37,36 +37,71 @@ def curation_filter(
     min_tokens: int = 20,
     n: int = 2,
     lines: Column | None = None,
+    engine: str = "native",
+    line_width: int | None = None,
 ) -> DataFrame:
     """Per-doc curation verdict: metrics, failed-rule ``reasons``
     (comma-joined, fixed order), and a ``keep`` flag.
 
     Defaults are tuned on the sf test corpus so each rule fires on a
     real slice; production thresholds are corpus decisions — pass your
-    own. ``lines`` as in :func:`repetition.repetition_profile`."""
+    own. ``lines`` as in :func:`repetition.repetition_profile`
+    (native engine only).
+
+    ``engine="arrow"`` swaps the repetition metrics to the Arrow
+    kernel (measured ~8× on the whole gate at 10⁶ docs, BENCH.md)
+    while quality/lang/token stay NATIVE and ride THROUGH the kernel
+    as passthrough columns — still one MapInPandas, zero Exchange, and
+    no doc_id re-join. ``line_width`` selects chunked pseudo-lines for
+    the arrow engine (None = split on newlines)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    if lines is None:
-        lines = F.filter(
-            F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
-            lambda x: x != "",
+    if engine == "arrow":
+        from .repetition import repetition_profile_arrow
+
+        staged = documents.select(
+            "doc_id",
+            c.alias("_text"),
+            quality_score(c).cast("bigint").alias("quality"),
+            lang_guess(c).alias("lang_guess"),
+            token_count(c).cast("bigint").alias("n_tokens"),
         )
-    staged = documents.select(
-        "doc_id",
-        c.alias("_text"),
-        lines.alias("_lns"),
-        word_ngrams(c, n).alias("_grams"),
-    )
-    lr = line_repetition(F.col("_lns"))
-    nr = ngram_repetition(F.col("_text"), n, grams=F.col("_grams"))
-    t = F.col("_text")
-    m = staged.select(
-        "doc_id",
-        quality_score(t).cast("bigint").alias("quality"),
-        lang_guess(t).alias("lang_guess"),
-        token_count(t).cast("bigint").alias("n_tokens"),
-        lr["dup_line_frac"].alias("dup_line_frac"),
-        nr["top_ngram_char_frac"].alias("top_ngram_char_frac"),
-    )
+        m = repetition_profile_arrow(
+            staged,
+            text_col="_text",
+            n=n,
+            line_width=line_width,
+            passthrough=["quality", "lang_guess", "n_tokens"],
+        ).select(
+            "doc_id",
+            "quality",
+            "lang_guess",
+            "n_tokens",
+            "dup_line_frac",
+            "top_ngram_char_frac",
+        )
+    else:
+        if lines is None:
+            lines = F.filter(
+                F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        staged = documents.select(
+            "doc_id",
+            c.alias("_text"),
+            lines.alias("_lns"),
+            word_ngrams(c, n).alias("_grams"),
+        )
+        lr = line_repetition(F.col("_lns"))
+        nr = ngram_repetition(F.col("_text"), n, grams=F.col("_grams"))
+        t = F.col("_text")
+        m = staged.select(
+            "doc_id",
+            quality_score(t).cast("bigint").alias("quality"),
+            lang_guess(t).alias("lang_guess"),
+            token_count(t).cast("bigint").alias("n_tokens"),
+            lr["dup_line_frac"].alias("dup_line_frac"),
+            nr["top_ngram_char_frac"].alias("top_ngram_char_frac"),
+        )
     checks = [
         (F.col("quality") < min_quality, "low_quality"),
         (~F.col("lang_guess").isin(*langs), "lang"),

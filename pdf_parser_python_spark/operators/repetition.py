@@ -185,6 +185,7 @@ def repetition_profile_arrow(
     text_col: str = "text",
     n: int = 2,
     line_width: int | None = None,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Arrow-batched twin of :func:`repetition_profile`: the same
     metrics computed in a ``mapInPandas`` kernel (tokenize + Counter
@@ -196,7 +197,12 @@ def repetition_profile_arrow(
     ``\\n``. Fractions are returned RAW from the kernel and rounded by
     native ``F.round`` outside it, so the value path through IEEE754 →
     HALF_UP is bit-identical to the native engine and the SQL oracle.
-    Plan: one MapInPandas, zero Exchange."""
+    Plan: one MapInPandas, zero Exchange.
+
+    ``passthrough`` columns of ``documents`` are echoed through the
+    kernel unchanged — the zero-shuffle way to combine these metrics
+    with natively-computed ones (compute them BEFORE the kernel, carry
+    them through) instead of a doc_id join afterwards."""
     import re as _re
 
     from pyspark.sql.types import (
@@ -208,15 +214,18 @@ def repetition_profile_arrow(
     )
 
     ws_re = _re.compile(f"[{_re.escape(_JAVA_WS)}]+")
+    passthrough = list(passthrough or [])
     out_schema = StructType(
         [
-            StructField("doc_id", documents.schema[ "doc_id"].dataType),
+            StructField("doc_id", documents.schema["doc_id"].dataType),
             StructField("n_lines", LongType()),
             StructField("_dlf", DoubleType()),
             StructField("_dlcf", DoubleType()),
             StructField("top_ngram", StringType()),
             StructField("_tncf", DoubleType()),
             StructField("_dnf", DoubleType()),
+            *[StructField(p, documents.schema[p].dataType)
+              for p in passthrough],
         ]
     )
 
@@ -265,9 +274,12 @@ def repetition_profile_arrow(
                 out["top_ngram"].append(bg)
                 out["_tncf"].append(tncf)
                 out["_dnf"].append(dnf)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for p in passthrough:
+                res[p] = pdf[p].reset_index(drop=True)
+            yield res
 
-    raw = documents.select("doc_id", text_col).mapInPandas(
+    raw = documents.select("doc_id", text_col, *passthrough).mapInPandas(
         kernel, out_schema
     )
     return raw.select(
@@ -278,6 +290,7 @@ def repetition_profile_arrow(
         "top_ngram",
         F.round("_tncf", 4).alias("top_ngram_char_frac"),
         F.round("_dnf", 4).alias("dup_ngram_frac"),
+        *passthrough,
     )
 
 

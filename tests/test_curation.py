@@ -59,3 +59,37 @@ def test_curation_plan_is_map_only(spark):
         curation_filter(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_arrow_engine_matches_native(spark):
+    import random
+
+    rng = random.Random(23)
+    words = ["the", "and", "fox", "runs", "el", "la", "zz", "good", "day"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 60))))
+        for i in range(120)
+    ] + [(900, None), (901, ""), (902, GOOD)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nat = {
+        r["doc_id"]: r.asDict()
+        for r in curation_filter(
+            docs,
+            lines=__import__(
+                "pdf_parser_python_spark.operators.repetition",
+                fromlist=["chunked_lines"],
+            ).chunked_lines(F.col("text"), 10),
+        ).collect()
+    }
+    arw = {
+        r["doc_id"]: r.asDict()
+        for r in curation_filter(docs, engine="arrow", line_width=10).collect()
+    }
+    assert nat == arw
+    plan = (
+        curation_filter(docs, engine="arrow", line_width=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and plan.count("MapInPandas") == 1
