@@ -775,6 +775,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_ngrams"] = top_ngrams
 
+    # — training-data: sequence packing (two-phase prefix sum; tiny
+    #   bucket width so the bucket machinery is actually exercised
+    #   at sf scale) —
+    def pack_assign(spark, sf):
+        from pdf_parser_python_spark.operators.packing import pack_sequences
+
+        d = _docs(spark, sf, "documents")
+        return pack_sequences(d, seq_len=2048, bucket_width=64)
+
+    q["pack_assign"] = pack_assign
+
+    def pack_rollup(spark, sf):
+        from pdf_parser_python_spark.operators.packing import (
+            pack_sequences,
+            pack_stats,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return pack_stats(pack_sequences(d, seq_len=2048, bucket_width=64))
+
+    q["pack_rollup"] = pack_rollup
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1293,6 +1315,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_gate_vec": _oracle.curation_sql(),
         "para_dedup": _oracle.paragraph_dedup_sql(),
         "top_ngrams": _oracle.top_ngrams_sql(),
+        "pack_assign": _oracle.packing_sql(),
+        "pack_rollup": _oracle.pack_stats_sql(),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

@@ -1353,3 +1353,30 @@ FROM grams GROUP BY gram
 HAVING count(*) >= {min_count}
 ORDER BY cnt DESC, gram
 LIMIT {k}"""
+
+
+def packing_sql(seq_len: int = 2048) -> str:
+    """Twin of packing.pack_sequences (pack_assign driver query): the
+    two-phase bucketed prefix sum equals one global ordered cumsum."""
+    return f"""
+WITH t AS (
+    SELECT doc_id, len({_TOKS_RAW})::BIGINT AS n_tokens FROM documents),
+c AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens AS start
+    FROM t)
+SELECT doc_id, n_tokens, start,
+       cast(floor(start / {seq_len}.0) AS BIGINT) AS pack_id,
+       (start % {seq_len})::BIGINT AS pack_offset
+FROM c"""
+
+
+def pack_stats_sql(seq_len: int = 2048) -> str:
+    return f"""
+WITH p AS ({packing_sql(seq_len)})
+SELECT pack_id, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(sum(n_tokens) / {seq_len}.0, 4) AS fill_ratio
+FROM p GROUP BY pack_id"""

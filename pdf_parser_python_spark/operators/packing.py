@@ -1,0 +1,94 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+packs (the tokenize-and-pack stage between curation and training).
+
+Every document is placed at its exact offset in the corpus-wide token
+stream (deterministic global order = ``doc_id`` ascending) and assigned
+to the pack containing its FIRST token: ``pack_id = floor(start /
+seq_len)`` — the GPT-style contiguous-stream packing where documents
+may straddle pack boundaries (the trainer masks attention across the
+boundary; the assignment here is by start offset so it is exact,
+deterministic, and reproducible at any cluster size).
+
+Scale shape — the naive formulation is ``sum(n_tokens) OVER (ORDER BY
+doc_id)``, and Spark executes an un-partitioned ordered window ON A
+SINGLE PARTITION: the whole corpus funnels through one task. This
+operator instead runs the same two-phase prefix sum the extraction
+engine's chunked native FSM uses (``operators/native.py``):
+
+1. bucket by ``floor(doc_id / bucket_width)`` → per-bucket running
+   sum (window partitioned by bucket — parallel);
+2. per-bucket totals (one tiny aggregate, rows = #buckets) → running
+   bucket offsets, broadcast back.
+
+Exact same prefix sums, no single-task stage. Reference scope: no
+counterpart in the reference engine; extends the training-data family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import token_count
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    n_tokens: Column | None = None,
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """Per-doc pack assignment: ``doc_id, n_tokens, start, pack_id,
+    pack_offset``. ``documents.doc_id`` must be numeric (it is the
+    deterministic global order); pass ``n_tokens`` to use a real
+    tokenizer's counts instead of whitespace tokens."""
+    if n_tokens is None:
+        n_tokens = token_count(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).cast("long")
+    d = documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(F.col("doc_id") / bucket_width).alias("_b"),
+    )
+    in_bucket = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("_cum_in_b", F.sum("n_tokens").over(in_bucket))
+    totals = d.groupBy("_b").agg(F.max("_cum_in_b").alias("_tot"))
+    bucket_order = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the un-partitioned window here is over #buckets rows (corpus
+    # size / bucket_width), not the corpus — driver-scale, by design
+    offsets = totals.withColumn(
+        "_off", F.sum("_tot").over(bucket_order) - F.col("_tot")
+    ).select("_b", "_off")
+    out = d.join(F.broadcast(offsets), "_b").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_off") + F.col("_cum_in_b") - F.col("n_tokens")).alias(
+            "start"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        F.floor(F.col("start") / seq_len).cast("bigint").alias("pack_id"),
+        (F.col("start") % seq_len).cast("bigint").alias("pack_offset"),
+    )
+
+
+def pack_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Per-pack rollup of :func:`pack_sequences` output: docs starting
+    in the pack, their token sum, and the pack's start-fill fraction
+    (tokens that BEGIN in this pack / seq_len — >1 means carry-over
+    into later packs, the straddle case)."""
+    return packed.groupBy("pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tokens") / seq_len, 4).alias("fill_ratio"),
+    )
