@@ -27,6 +27,93 @@ from .textstats import lang_guess, quality_score, token_count
 RULES = ("low_quality", "lang", "dup_lines", "repetitive_ngram", "too_short")
 
 
+def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None):
+    """All five gate metrics in ONE mapInPandas kernel. Python mirrors
+    of the native expressions, exact by construction: quality's
+    character classes are pure ASCII (identical in Java regex, RE2 and
+    Python re — the one dialect trap, Java's ASCII ``\\s`` inside
+    ``[A-Za-z0-9\\s]``, is spelled out as the explicit char set),
+    integer points use the same truncating division, token boundaries
+    come from :func:`repetition.java_tokens`, and the language argmax
+    is tuple-max = the native struct array_max. Raw fractions are
+    rounded with native F.round outside the kernel."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .repetition import _JAVA_WS, _doc_repetition, java_tokens
+    from .textstats import STOPWORDS
+
+    ws_re = _re.compile(f"[{_re.escape(_JAVA_WS)}]+")
+    non_alpha = _re.compile(r"[^A-Za-z]")
+    non_punct = _re.compile(f"[A-Za-z0-9{_re.escape(_JAVA_WS)}]")
+    marks = _re.compile(r"[.!?]")
+    sw = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    langs_sorted = sorted(sw)
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", staged.schema["doc_id"].dataType),
+            StructField("quality", LongType()),
+            StructField("lang_guess", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("_dlf", DoubleType()),
+            StructField("_tncf", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "quality", "lang_guess",
+                                   "n_tokens", "_dlf", "_tncf")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
+                text = text if isinstance(text, str) else ""
+                toks = java_tokens(text, ws_re)
+                nc = len(text)
+                n_alpha = len(non_alpha.sub("", text))
+                n_punct = len(non_punct.sub("", text))
+                n_marks = len(marks.findall(text))
+                nt = len(toks)
+                pts = (40 if nc >= 200 else 25 if nc >= 50
+                       else 10 if nc >= 10 else 0)
+                pts += int(n_alpha * 30 / nc) if nc > 0 else 0
+                pts += 15 if n_marks > 0 else 0
+                pts += 15 if nt >= 20 else 8 if nt >= 5 else 0
+                pts += -20 if (nc > 0 and n_punct * 3 > nc) else 0
+                quality = max(0, min(100, pts))
+                ltoks = java_tokens(text.lower(), ws_re)
+                best = max(
+                    (sum(1 for t in ltoks if t in sw[lg]), lg)
+                    for lg in langs_sorted
+                )
+                guess = best[1] if best[0] > 0 else "und"
+                rep = _doc_repetition(text, n, line_width, ws_re)
+                out["doc_id"].append(doc_id)
+                out["quality"].append(quality)
+                out["lang_guess"].append(guess)
+                out["n_tokens"].append(nt)
+                out["_dlf"].append(rep[1])
+                out["_tncf"].append(rep[4])
+            yield pd.DataFrame(out)
+
+    return staged.mapInPandas(kernel, out_schema).select(
+        "doc_id",
+        "quality",
+        "lang_guess",
+        "n_tokens",
+        F.round("_dlf", 4).alias("dup_line_frac"),
+        F.round("_tncf", 4).alias("top_ngram_char_frac"),
+    )
+
+
 def curation_filter(
     documents: DataFrame,
     text_col: str = "text",
@@ -48,36 +135,21 @@ def curation_filter(
     own. ``lines`` as in :func:`repetition.repetition_profile`
     (native engine only).
 
-    ``engine="arrow"`` swaps the repetition metrics to the Arrow
-    kernel (measured ~8× on the whole gate at 10⁶ docs, BENCH.md)
-    while quality/lang/token stay NATIVE and ride THROUGH the kernel
-    as passthrough columns — still one MapInPandas, zero Exchange, and
-    no doc_id re-join. ``line_width`` selects chunked pseudo-lines for
-    the arrow engine (None = split on newlines)."""
+    ``engine="arrow"`` computes EVERY gate metric inside one
+    ``mapInPandas`` kernel — repetition AND quality/lang/tokens (all
+    their regexes are pure-ASCII classes, mirrored exactly; the
+    measured decomposition at 10⁶ docs put quality_score's three
+    native regex passes at 29.7 s of the native gate's 44 s, so
+    leaving it native wastes the kernel). Fractions come back raw and
+    are rounded by native ``F.round``, integer points use the same
+    truncating arithmetic — differential-tested equal to the native
+    engine. Still one MapInPandas, zero Exchange. ``line_width``
+    selects chunked pseudo-lines for the arrow engine (None = split on
+    newlines)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     if engine == "arrow":
-        from .repetition import repetition_profile_arrow
-
-        staged = documents.select(
-            "doc_id",
-            c.alias("_text"),
-            quality_score(c).cast("bigint").alias("quality"),
-            lang_guess(c).alias("lang_guess"),
-            token_count(c).cast("bigint").alias("n_tokens"),
-        )
-        m = repetition_profile_arrow(
-            staged,
-            text_col="_text",
-            n=n,
-            line_width=line_width,
-            passthrough=["quality", "lang_guess", "n_tokens"],
-        ).select(
-            "doc_id",
-            "quality",
-            "lang_guess",
-            "n_tokens",
-            "dup_line_frac",
-            "top_ngram_char_frac",
+        m = _gate_metrics_arrow(
+            documents.select("doc_id", c.alias("_text")), n, line_width
         )
     else:
         if lines is None:

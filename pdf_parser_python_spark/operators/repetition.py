@@ -180,6 +180,58 @@ _JAVA_WS = " \t\n\x0b\f\r"
 _JAVA_TRIM = "".join(chr(i) for i in range(0x21))
 
 
+def java_tokens(text: str, ws_re) -> list[str]:
+    """Python mirror of ``textstats.tokens`` (Java ``trim`` + ASCII
+    ``\\s+`` split) — the token-boundary contract every Arrow kernel
+    in this module shares with the native engine and the SQL oracle."""
+    stripped = text.strip(_JAVA_TRIM)
+    return [t for t in ws_re.split(stripped) if t] if stripped else []
+
+
+def _doc_repetition(
+    text, n: int, line_width: int | None, ws_re
+) -> tuple:
+    """Per-doc repetition metrics (RAW fractions — callers round with
+    native F.round so the value path matches the oracle bit-for-bit).
+    Returns (n_lines, dup_line_frac, dup_line_char_frac, top_ngram,
+    top_ngram_char_frac, dup_ngram_frac)."""
+    from collections import Counter
+
+    text = text if isinstance(text, str) else ""
+    toks = java_tokens(text, ws_re)
+    if line_width is None:
+        lines = [ln.strip(_JAVA_TRIM) for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+    else:
+        lines = [
+            " ".join(toks[i : i + line_width])
+            for i in range(0, len(toks), line_width)
+        ]
+    m = len(lines)
+    lc = Counter(lines)
+    total = sum(map(len, lines))
+    dupc = sum(len(x) for x in lines if lc[x] > 1)
+    ltoks = java_tokens(text.lower(), ws_re)
+    grams = [
+        " ".join(ltoks[i : i + n]) for i in range(len(ltoks) - n + 1)
+    ]
+    if grams:
+        gc = Counter(grams)
+        bc, bg = max(((c, g) for g, c in gc.items()))
+        tncf = bc * len(bg) / len(text) if text else 0.0
+        dnf = (len(grams) - len(gc)) / len(grams)
+    else:
+        bg, tncf, dnf = "", 0.0, 0.0
+    return (
+        m,
+        (m - len(lc)) / m if m else 0.0,
+        dupc / total if total else 0.0,
+        bg,
+        tncf,
+        dnf,
+    )
+
+
 def repetition_profile_arrow(
     documents: DataFrame,
     text_col: str = "text",
@@ -230,8 +282,6 @@ def repetition_profile_arrow(
     )
 
     def kernel(batches):
-        from collections import Counter
-
         import pandas as pd
 
         for pdf in batches:
@@ -239,41 +289,14 @@ def repetition_profile_arrow(
                    ("doc_id", "n_lines", "_dlf", "_dlcf", "top_ngram",
                     "_tncf", "_dnf")}
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                text = text if isinstance(text, str) else ""
-                stripped = text.strip(_JAVA_TRIM)
-                toks = [t for t in ws_re.split(stripped) if t] if stripped else []
-                if line_width is None:
-                    lines = [ln.strip(_JAVA_TRIM) for ln in text.split("\n")]
-                    lines = [ln for ln in lines if ln]
-                else:
-                    lines = [
-                        " ".join(toks[i : i + line_width])
-                        for i in range(0, len(toks), line_width)
-                    ]
-                m = len(lines)
-                lc = Counter(lines)
-                total = sum(map(len, lines))
-                dupc = sum(len(x) for x in lines if lc[x] > 1)
-                ltoks = [t for t in ws_re.split(
-                    text.lower().strip(_JAVA_TRIM)) if t] if stripped else []
-                grams = [
-                    " ".join(ltoks[i : i + n])
-                    for i in range(len(ltoks) - n + 1)
-                ]
-                if grams:
-                    gc = Counter(grams)
-                    bc, bg = max(((c, g) for g, c in gc.items()))
-                    tncf = bc * len(bg) / len(text) if text else 0.0
-                    dnf = (len(grams) - len(gc)) / len(grams)
-                else:
-                    bg, tncf, dnf = "", 0.0, 0.0
+                vals = _doc_repetition(text, n, line_width, ws_re)
                 out["doc_id"].append(doc_id)
-                out["n_lines"].append(m)
-                out["_dlf"].append((m - len(lc)) / m if m else 0.0)
-                out["_dlcf"].append(dupc / total if total else 0.0)
-                out["top_ngram"].append(bg)
-                out["_tncf"].append(tncf)
-                out["_dnf"].append(dnf)
+                for key, v in zip(
+                    ("n_lines", "_dlf", "_dlcf", "top_ngram", "_tncf",
+                     "_dnf"),
+                    vals,
+                ):
+                    out[key].append(v)
             res = pd.DataFrame(out)
             for p in passthrough:
                 res[p] = pdf[p].reset_index(drop=True)

@@ -93,3 +93,25 @@ def test_arrow_engine_matches_native(spark):
         .toString()
     )
     assert "Exchange" not in plan and plan.count("MapInPandas") == 1
+
+
+def test_arrow_engine_matches_native_hostile_chars(spark):
+    # punctuation floods, NBSP (unicode-\s divergence trap), digits,
+    # marks, stopword ties — the quality/lang kernel mirrors must agree
+    docs = spark.createDataFrame(
+        [
+            (1, "@@ ## $$ %% !! ?? .. " * 10),
+            (2, "word with nbsp separators and the usual filler"),
+            (3, "123 456 789 0!? mixed. digits? and marks!"),
+            (4, "the el the el the el balanced stopword tie text"),
+            (5, "x" * 250),
+            (6, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    nat = {r["doc_id"]: r.asDict() for r in curation_filter(docs).collect()}
+    arw = {
+        r["doc_id"]: r.asDict()
+        for r in curation_filter(docs, engine="arrow").collect()
+    }
+    assert nat == arw
