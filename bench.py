@@ -561,9 +561,22 @@ def _curation_phase(spark) -> dict:
         F.sum("n_paras").alias("p"), F.sum("n_kept").alias("k")
     ).first()
     w_pdedup = time.time() - t0
+    from pdf_parser_python_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    t0 = time.time()
+    pk = pack_stats(pack_sequences(docs, seq_len=2048)).agg(
+        F.count("*").alias("packs"), F.sum("n_tokens").alias("tok")
+    ).first()
+    w_pack = time.time() - t0
     return {
         "n_docs": n_docs,
         "n_benchmark_prompts": int(n_bench),
+        "wall_sec_packing": round(w_pack, 2),
+        "n_packs": int(pk["packs"]),
+        "corpus_tokens": int(pk["tok"]),
         "wall_sec_pii_profile": round(w_pii, 2),
         "wall_sec_curation_gate": round(w_gate, 2),
         "wall_sec_curation_gate_arrow": round(w_gate_arw, 2),
