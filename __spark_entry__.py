@@ -34,6 +34,12 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from pdf_parser_python_spark import schema  # noqa: E402
+
+#: fixed mixture recipe shared by the mix_plan / mix_sample queries
+#: and their oracles: src0 upsampled past 2 epochs, src1 ≈ 1 full
+#: pass, src2 downsampled — all three plan regimes exercised
+_MIX_WEIGHTS = {"src0": 2.0, "src1": 1.0, "src2": 0.5}
+_MIX_TARGET = 6000
 from pdf_parser_python_spark.operators import validate as _validate  # noqa: E402
 from pdf_parser_python_spark.plans import pipeline  # noqa: E402
 from pdf_parser_python_spark.sources import spans as _sources  # noqa: E402
@@ -797,6 +803,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_rollup"] = pack_rollup
 
+    # — training-data: mixture plan + deterministic mixture sampling
+    #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
+    #   src2; md5-ppm draw → identical docs chosen on any cluster) —
+    def mix_plan(spark, sf):
+        from pdf_parser_python_spark.operators.mixture import mixture_plan
+
+        d = _docs(spark, sf, "documents")
+        return mixture_plan(d, _MIX_WEIGHTS, _MIX_TARGET)
+
+    q["mix_plan"] = mix_plan
+
+    def mix_sample(spark, sf):
+        from pdf_parser_python_spark.operators.mixture import (
+            mixture_plan,
+            mixture_sample,
+        )
+
+        d = _docs(spark, sf, "documents")
+        out = mixture_sample(d, mixture_plan(d, _MIX_WEIGHTS, _MIX_TARGET))
+        return out.select("doc_id", "source", "epoch")
+
+    q["mix_sample"] = mix_sample
+
     # — training-data: minhash-LSH near-dup pairs (md5 hasher → oracled) —
     def dedup_minhash(spark, sf):
         from pdf_parser_python_spark.functions.hashing import md5_64
@@ -1317,6 +1346,8 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _oracle.top_ngrams_sql(),
         "pack_assign": _oracle.packing_sql(),
         "pack_rollup": _oracle.pack_stats_sql(),
+        "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
+        "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """
             SELECT o_custkey AS custkey, count(*) AS cnt
             FROM orders GROUP BY o_custkey HAVING count(*) > 1

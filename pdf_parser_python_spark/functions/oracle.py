@@ -1380,3 +1380,45 @@ SELECT pack_id, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS n_tokens,
        round(sum(n_tokens) / {seq_len}.0, 4) AS fill_ratio
 FROM p GROUP BY pack_id"""
+
+
+def mixture_plan_sql(weights: dict[str, float], target_tokens: int) -> str:
+    """Twin of mixture.mixture_plan (mix_plan driver query). The float
+    arithmetic is written with the SAME association order as the Spark
+    expression (weight * target / wsum) so floor() sees an identical
+    IEEE double on both engines."""
+    wsum = repr(float(sum(weights.values())))
+    vals = ", ".join(
+        f"('{s}', {float(w)!r})" for s, w in sorted(weights.items())
+    )
+    tgt = f"floor(w.weight * {target_tokens} / {wsum})::BIGINT"
+    return f"""
+WITH inv AS (
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len({_TOKS_RAW}))::BIGINT AS tokens_avail
+    FROM documents GROUP BY source),
+w(source, weight) AS (VALUES {vals})
+SELECT inv.source AS source, n_docs, tokens_avail,
+       {tgt} AS tokens_target,
+       floor({tgt} / tokens_avail)::BIGINT AS n_epochs,
+       floor(({tgt} % tokens_avail) * 1000000 / tokens_avail)::BIGINT
+           AS residual_ppm
+FROM inv JOIN w USING (source)"""
+
+
+def mixture_sample_sql(
+    weights: dict[str, float], target_tokens: int, seed: int = 0
+) -> str:
+    """Twin of mixture.mixture_sample (mix_sample driver query): the
+    md5-ppm draw + epochs as a lateral generate_series."""
+    u = md5_64_sql("d.doc_id::varchar", seed)
+    return f"""
+WITH plan AS ({mixture_plan_sql(weights, target_tokens)}),
+base AS (
+    SELECT d.doc_id, d.source,
+           (p.n_epochs + CASE WHEN {u} % 1000000 < p.residual_ppm
+                              THEN 1 ELSE 0 END) AS n_copies
+    FROM documents d JOIN plan p USING (source))
+SELECT doc_id, source,
+       unnest(generate_series(1, n_copies))::INT AS epoch
+FROM base WHERE n_copies >= 1"""

@@ -1,0 +1,118 @@
+"""Mixture planning + deterministic sampling: python brute-force
+parity, partitioning invariance, epoch semantics."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_parser_python_spark.operators.mixture import (
+    PPM,
+    mixture_plan,
+    mixture_sample,
+)
+
+
+def _py_u_ppm(doc_id, seed=0) -> int:
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % PPM
+
+
+def _corpus(spark):
+    rows = [
+        (i, f"s{i % 3}", " ".join("w" for _ in range(5 + (i % 7))))
+        for i in range(90)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_plan_matches_brute_force(spark):
+    docs = _corpus(spark)
+    weights = {"s0": 2.0, "s1": 1.0}  # s2 unplanned -> excluded
+    target = 1000
+    got = {r["source"]: r for r in
+           mixture_plan(docs, weights, target).collect()}
+    assert set(got) == {"s0", "s1"}
+
+    rows = docs.collect()
+    for s, w in weights.items():
+        toks = [len(r["text"].split()) for r in rows if r["source"] == s]
+        avail = sum(toks)
+        tgt = math.floor(w / 3.0 * target)
+        r = got[s]
+        assert r["n_docs"] == len(toks)
+        assert r["tokens_avail"] == avail
+        assert r["tokens_target"] == tgt
+        assert r["n_epochs"] == tgt // avail
+        assert r["residual_ppm"] == (tgt % avail) * PPM // avail
+
+
+def test_sample_matches_hash_mirror_and_partitioning(spark):
+    docs = _corpus(spark)
+    plan = mixture_plan(docs, {"s0": 2.0, "s1": 1.0}, 1000)
+    plan_rows = {r["source"]: r for r in plan.collect()}
+
+    def expected(doc_id, source):
+        p = plan_rows.get(source)
+        if p is None:
+            return 0
+        return p["n_epochs"] + (
+            1 if _py_u_ppm(doc_id) < p["residual_ppm"] else 0
+        )
+
+    for npart in (1, 7):
+        out = mixture_sample(docs.repartition(npart), plan).collect()
+        counts = {}
+        for r in out:
+            counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+            assert r["epoch"] >= 1
+        for d in docs.collect():
+            assert counts.get(d["doc_id"], 0) == expected(
+                d["doc_id"], d["source"]
+            ), d["doc_id"]
+
+
+def test_sample_epochs_distinguishable_and_zero_rate(spark):
+    docs = _corpus(spark)
+    # n_epochs=2, residual 0 -> exactly 2 copies of every s0 doc
+    plan = spark.createDataFrame(
+        [("s0", 2, 0)], "source string, n_epochs long, residual_ppm long"
+    )
+    out = mixture_sample(docs, plan).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == [1, 2] for v in per_doc.values())
+    assert len(per_doc) == 30  # only s0
+
+    # zero plan -> empty
+    zplan = spark.createDataFrame(
+        [("s0", 0, 0)], "source string, n_epochs long, residual_ppm long"
+    )
+    assert mixture_sample(docs, zplan).count() == 0
+
+
+def test_sampled_token_total_approaches_target(spark):
+    # residual sampling is hash-Bernoulli: realized tokens land within
+    # a loose band of the target (deterministic given the fixed corpus)
+    docs = _corpus(spark)
+    weights = {"s0": 1.0, "s1": 1.0, "s2": 1.0}
+    target = 500
+    plan = mixture_plan(docs, weights, target)
+    out = mixture_sample(docs, plan)
+    total = out.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    assert abs(total - target) / target < 0.35
+
+
+def test_plan_is_single_tiny_aggregate(spark):
+    docs = _corpus(spark)
+    plan = mixture_sample(
+        docs, mixture_plan(docs, {"s0": 1.0}, 100)
+    )._jdf.queryExecution().executedPlan().toString()
+    # corpus-side join is broadcast (the plan table is #sources rows)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
