@@ -571,7 +571,32 @@ def _curation_phase(spark) -> dict:
         F.count("*").alias("packs"), F.sum("n_tokens").alias("tok")
     ).first()
     w_pack = time.time() - t0
+    from pdf_parser_python_spark.operators.mixture import (
+        mixture_plan,
+        mixture_sample,
+    )
+
+    # mixture: 16 derived sources, 8 planned with weights 1-3 against
+    # a 20M-token target → both regimes (multi-epoch upsample and
+    # fractional downsample) exercised at 10⁶ docs
+    srcd = docs.withColumn(
+        "source",
+        F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string")),
+    )
+    mweights = {f"s{i}": float(1 + (i % 3)) for i in range(8)}
+    t0 = time.time()
+    msamp = mixture_sample(
+        srcd, mixture_plan(srcd, mweights, target_tokens=20_000_000)
+    )
+    mx = msamp.agg(
+        F.count("*").alias("rows"),
+        F.max("epoch").alias("max_epoch"),
+    ).first()
+    w_mix = time.time() - t0
     return {
+        "wall_sec_mixture": round(w_mix, 2),
+        "n_mixture_rows": int(mx["rows"]),
+        "mixture_max_epoch": int(mx["max_epoch"]),
         "n_docs": n_docs,
         "n_benchmark_prompts": int(n_bench),
         "wall_sec_packing": round(w_pack, 2),
