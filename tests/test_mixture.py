@@ -116,3 +116,49 @@ def test_plan_is_single_tiny_aggregate(spark):
     # corpus-side join is broadcast (the plan table is #sources rows)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# — property: plan arithmetic + sampler count law over random corpora —
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(  # (source idx 0-3, token count) per doc
+        st.tuples(st.integers(0, 3), st.integers(1, 50)),
+        min_size=4, max_size=40,
+    ),
+    st.dictionaries(
+        st.integers(0, 3), st.floats(0.1, 5.0), min_size=1, max_size=4
+    ),
+    st.integers(10, 5000),
+)
+def test_plan_and_sampler_laws(spark, docs_spec, wspec, target):
+    rows = [
+        (i, f"s{s}", " ".join("w" for _ in range(nt)))
+        for i, (s, nt) in enumerate(docs_spec)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    weights = {f"s{k}": v for k, v in wspec.items()}
+    wsum = sum(weights.values())
+    plan_rows = mixture_plan(df, weights, target).collect()
+    avail = {}
+    for i, (s, nt) in enumerate(docs_spec):
+        avail[f"s{s}"] = avail.get(f"s{s}", 0) + nt
+    for r in plan_rows:
+        a, tgt = avail[r["source"]], r["tokens_target"]
+        assert tgt == math.floor(
+            weights[r["source"]] * target / wsum
+        )
+        # decomposition law: epochs*avail + residual-expected ~ target
+        assert 0 <= r["residual_ppm"] < PPM
+        expected = r["n_epochs"] * a + r["residual_ppm"] * a / PPM
+        assert tgt - a / PPM - 1 <= expected <= tgt
+    # sampler count law: every planned doc appears n_epochs or +1 times
+    plan_df = spark.createDataFrame(plan_rows)
+    out = mixture_sample(df, plan_df).groupBy("doc_id", "source").count()
+    prow = {r["source"]: r for r in plan_rows}
+    for r in out.collect():
+        assert r["count"] - prow[r["source"]]["n_epochs"] in (0, 1)
