@@ -621,6 +621,92 @@ def _curation_phase(spark) -> dict:
     }
 
 
+def _e2e_phase(spark) -> dict:
+    """r5: the full training-data path COMPOSED as one lazy job —
+    arrow curation gate → keep semi-join → 8-gram decontamination →
+    corpus-wide paragraph dedup → mixture plan + hash-ppm sampling →
+    sequence packing → pack rollup. Measured to be cheaper than the
+    stage walls summed (scans and map stages overlap), which is the
+    point: at 100 TB, checkpoint between stages only where lineage
+    requires it, not per operator. Gate thresholds here fit the
+    synthetic corpus (textgen words are non-English, so defaults
+    correctly reject 100%); thresholds are corpus decisions."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators.contamination import (
+        decontaminated,
+    )
+    from pdf_parser_python_spark.operators.curation import curation_filter
+    from pdf_parser_python_spark.operators.dedup import paragraph_dedup
+    from pdf_parser_python_spark.operators.mixture import (
+        mixture_plan,
+        mixture_sample,
+    )
+    from pdf_parser_python_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+    from pdf_parser_python_spark.operators.repetition import chunked_lines
+    from pdf_parser_python_spark.operators.textstats import tokens
+    from pdf_parser_python_spark.sources import textgen
+
+    try:
+        if not os.path.exists(DEDUP_DOCS_DIR):
+            textgen.dedup_bench_corpus(spark, DEDUP_DOCS).write.mode(
+                "overwrite"
+            ).parquet(DEDUP_DOCS_DIR)
+        docs = spark.read.parquet(DEDUP_DOCS_DIR)
+        bench_prompts = docs.where(F.col("doc_id") % 500 == 0).select(
+            F.concat_ws(
+                " ", F.slice(tokens(F.col("text")), 1, 12)
+            ).alias("text")
+        )
+        t0 = time.time()
+        gate = curation_filter(
+            docs, engine="arrow", line_width=10,
+            min_quality=0, langs=("en", "und"),
+        )
+        kept = docs.join(
+            gate.where("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        clean = decontaminated(kept, bench_prompts)
+        deduped = paragraph_dedup(
+            clean, paragraphs=chunked_lines(F.col("text"), 15)
+        ).where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("text_deduped").alias("text")
+        )
+        srcd = deduped.withColumn(
+            "source",
+            F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string")),
+        )
+        mw = {f"s{i}": float(1 + (i % 3)) for i in range(8)}
+        mixed = mixture_sample(
+            srcd, mixture_plan(srcd, mw, target_tokens=10_000_000)
+        )
+        packed = pack_sequences(
+            mixed.select(
+                (F.col("doc_id") * 128 + F.col("epoch")).alias("doc_id"),
+                "text",
+            ),
+            seq_len=2048,
+        )
+        st = pack_stats(packed).agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_docs").alias("n_docs"),
+        ).first()
+        return {
+            "stages": "gate>decontam>para_dedup>mixture>packing",
+            "n_input_docs": DEDUP_DOCS,
+            "wall_sec": round(time.time() - t0, 2),
+            "n_packs": int(st["n_packs"] or 0),
+            "corpus_tokens": int(st["tokens"] or 0),
+            "sampled_docs": int(st["n_docs"] or 0),
+        }
+    except Exception as e:  # never sink the whole bench on this phase
+        return {"err": f"{type(e).__name__}: {e}"}
+
+
 def _dedup_phase(spark) -> dict:
     """VERDICT r3 item 1: the dedup/ANN family at DEDUP_DOCS rows over
     a corpus with a planted 10⁵-member mega-cluster and 10⁴ planted
@@ -946,6 +1032,9 @@ def main() -> None:
     curation = (
         _curation_phase(spark) if (CURATION_PHASE and DEDUP_DOCS) else None
     )
+    pipeline_e2e = (
+        _e2e_phase(spark) if (CURATION_PHASE and DEDUP_DOCS) else None
+    )
     spark.stop()
     # pinned subprocess probes need the parent session gone
     dedup_core = _dedup_core_probe() if DEDUP_PROBE_DOCS else None
@@ -1017,6 +1106,7 @@ def main() -> None:
             "lineage_overhead": lineage_overhead,
             "dedup_scale": dedup_scale,
             "curation": curation,
+            "pipeline_e2e": pipeline_e2e,
             "dedup_core_probe": dedup_core,
             "extraction": {
                 "corpus_docs": n_docs, "corpus_spans": int(n_spans),
@@ -1125,6 +1215,7 @@ def main() -> None:
         "lineage_overhead": lineage_overhead,
         "dedup_scale": dedup_scale,
         "curation": curation,
+        "pipeline_e2e": pipeline_e2e,
         "dedup_core_probe": dedup_core,
         "extraction": {
             "corpus_docs": n_docs,
