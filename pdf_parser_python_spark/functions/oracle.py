@@ -1363,9 +1363,9 @@ WITH t AS (
     SELECT doc_id, len({_TOKS_RAW})::BIGINT AS n_tokens FROM documents),
 c AS (
     SELECT doc_id, n_tokens,
-           sum(n_tokens) OVER (ORDER BY doc_id
+           (sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             - n_tokens AS start
+             - n_tokens)::BIGINT AS start
     FROM t)
 SELECT doc_id, n_tokens, start,
        cast(floor(start / {seq_len}.0) AS BIGINT) AS pack_id,
@@ -1401,8 +1401,8 @@ w(source, weight) AS (VALUES {vals})
 SELECT inv.source AS source, n_docs, tokens_avail,
        {tgt} AS tokens_target,
        floor({tgt} / tokens_avail)::BIGINT AS n_epochs,
-       floor(({tgt} % tokens_avail) * 1000000 / tokens_avail)::BIGINT
-           AS residual_ppm
+       floor(({tgt} % tokens_avail)::DOUBLE / tokens_avail::DOUBLE
+             * 1000000)::BIGINT AS residual_ppm
 FROM inv JOIN w USING (source)"""
 
 

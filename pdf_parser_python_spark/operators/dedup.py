@@ -279,9 +279,14 @@ def minhash_dedup_clusters(
         prev = nxt
         if converged:
             break
+    # the fixpoint frame was fully materialized by the count() above;
+    # the returned plan is rooted at that persisted frame, and the
+    # cache block is INTENTIONALLY retained: dropping it here would
+    # force the caller to recompute the whole hop chain (whose
+    # intermediate persists are already released). Callers that are
+    # done with the result should `.unpersist()` it — Spark's
+    # ContextCleaner reclaims the block on GC otherwise.
     out = labels.select("doc_id", F.col("rep").alias("cluster_rep"))
-    # materialization already happened via isEmpty(); hand the caller a
-    # plan rooted at the persisted fixpoint
     return out
 
 

@@ -82,11 +82,17 @@ def mixture_plan(
             .cast("bigint"),
         )
         .withColumn(
+            # divide BEFORE multiplying, in double: the naive
+            # (rem * PPM) wraps BIGINT once tokens_avail ≳ 9.2e12
+            # (plausible at 100-TB corpora). rem/avail ∈ [0,1) so the
+            # double path is exact to ~1e-10 ppm; the oracle SQL uses
+            # the identical IEEE association order for parity.
             "residual_ppm",
             F.floor(
                 (F.col("tokens_target") % F.col("tokens_avail"))
+                .cast("double")
+                / F.col("tokens_avail").cast("double")
                 * PPM
-                / F.col("tokens_avail")
             ).cast("bigint"),
         )
     )

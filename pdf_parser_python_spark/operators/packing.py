@@ -42,18 +42,27 @@ def pack_sequences(
 ) -> DataFrame:
     """Per-doc pack assignment: ``doc_id, n_tokens, start, pack_id,
     pack_offset``. ``documents.doc_id`` must be numeric (it is the
-    deterministic global order); pass ``n_tokens`` to use a real
-    tokenizer's counts instead of whitespace tokens."""
+    deterministic global order) and UNIQUE — ties in the window order
+    would make ``start`` partition-order dependent. When the input
+    carries an ``epoch`` column (mixture_sample's upsampled copies),
+    it is used as the tiebreaker so ``(doc_id, epoch)`` ordering keeps
+    the assignment deterministic without re-keying; otherwise re-key
+    duplicated ids first (bench's e2e phase uses ``doc_id*K + epoch``).
+    Pass ``n_tokens`` to use a real tokenizer's counts instead of
+    whitespace tokens."""
     if n_tokens is None:
         n_tokens = token_count(
             F.coalesce(F.col(text_col), F.lit(""))
         ).cast("long")
+    order_cols = ["doc_id"] + (
+        ["epoch"] if "epoch" in documents.columns else []
+    )
     d = documents.select(
-        "doc_id",
+        *order_cols,
         n_tokens.alias("n_tokens"),
         F.floor(F.col("doc_id") / bucket_width).alias("_b"),
     )
-    in_bucket = Window.partitionBy("_b").orderBy("doc_id").rowsBetween(
+    in_bucket = Window.partitionBy("_b").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     d = d.withColumn("_cum_in_b", F.sum("n_tokens").over(in_bucket))
@@ -67,14 +76,14 @@ def pack_sequences(
         "_off", F.sum("_tot").over(bucket_order) - F.col("_tot")
     ).select("_b", "_off")
     out = d.join(F.broadcast(offsets), "_b").select(
-        "doc_id",
+        *order_cols,
         "n_tokens",
         (F.col("_off") + F.col("_cum_in_b") - F.col("n_tokens")).alias(
             "start"
         ),
     )
     return out.select(
-        "doc_id",
+        *order_cols,
         "n_tokens",
         "start",
         F.floor(F.col("start") / seq_len).cast("bigint").alias("pack_id"),
