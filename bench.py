@@ -52,8 +52,12 @@ CURATION_PHASE = int(os.environ.get("BENCH_CURATION", "1"))
 #: (0 disables)
 HTML_PHASE = int(os.environ.get("BENCH_HTML", "1"))
 #: r5: pinned 1-vs-4-core probe of the minhash signature stage — the
-#: measured basis for dedup executor-sizing guidance (0 disables)
-DEDUP_PROBE_DOCS = int(os.environ.get("BENCH_DEDUP_PROBE_DOCS", "100000"))
+#: measured basis for dedup executor-sizing guidance (0 disables).
+#: r6: 100k → 200k docs — hash-shingling cut the stage wall ~3×, so at
+#: 100k the 4-core wall (~3 s) was short enough for per-job fixed cost
+#: to bias the ratio; 200k keeps both levels in the regime where the
+#: ratio measures bandwidth, not scheduling
+DEDUP_PROBE_DOCS = int(os.environ.get("BENCH_DEDUP_PROBE_DOCS", "200000"))
 DEDUP_SLICE_DIR = f"/tmp/bench_dedup_slice_{DEDUP_PROBE_DOCS}.parquet"
 # phase-2 scaling corpus: 2× the headline corpus so each timed run
 # stays long enough (≥~8 s at the 4N level) that per-job fixed cost
@@ -621,7 +625,7 @@ def _curation_phase(spark) -> dict:
     }
 
 
-def _e2e_phase(spark) -> dict:
+def _e2e_phase(spark, corpus_docs=None) -> dict:
     """r5: the full training-data path COMPOSED as one lazy job —
     arrow curation gate → keep semi-join → 8-gram decontamination →
     corpus-wide paragraph dedup → mixture plan + hash-ppm sampling →
@@ -630,7 +634,15 @@ def _e2e_phase(spark) -> dict:
     point: at 100 TB, checkpoint between stages only where lineage
     requires it, not per operator. Gate thresholds here fit the
     synthetic corpus (textgen words are non-English, so defaults
-    correctly reject 100%); thresholds are corpus decisions."""
+    correctly reject 100%); thresholds are corpus decisions.
+
+    r6 (VERDICT item 5): the engine's own front door is now stage 1 —
+    the spans corpus runs through the extraction FSM
+    (extract_flat_spans), each document's text spans are reassembled
+    in (seq, order) sequence into one text per doc, and those exam
+    documents join the 1M-doc corpus (source='exam', its own mixture
+    weight) BEFORE the gate. Everything from parquet scan to pack
+    rollup is one lazy plan."""
     from pyspark.sql import functions as F
 
     from pdf_parser_python_spark.operators.contamination import (
@@ -648,6 +660,7 @@ def _e2e_phase(spark) -> dict:
     )
     from pdf_parser_python_spark.operators.repetition import chunked_lines
     from pdf_parser_python_spark.operators.textstats import tokens
+    from pdf_parser_python_spark.plans import pipeline
     from pdf_parser_python_spark.sources import textgen
 
     try:
@@ -662,6 +675,33 @@ def _e2e_phase(spark) -> dict:
             ).alias("text")
         )
         t0 = time.time()
+        n_exam = 0
+        if corpus_docs is not None:
+            # stage 0: extraction — spans → FSM → flat spans →
+            # per-doc reassembled text, deterministic (seq, order) sort
+            flat = pipeline.extract_flat_spans(corpus_docs).where(
+                F.col("kind") == "text"
+            )
+            exam = flat.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("seq", "order", "text")
+                            )
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                ).alias("text")
+            ).select(
+                # 'syn-%08d' → reserved numeric range above the corpus
+                (F.substring("doc_id", 5, 8).cast("long")
+                 + 2_000_000).alias("doc_id"),
+                "text",
+            )
+            docs = docs.unionByName(exam)
+            n_exam = 1  # marker; exact count folds into sampled_docs
         gate = curation_filter(
             docs, engine="arrow", line_width=10,
             min_quality=0, langs=("en", "und"),
@@ -677,9 +717,14 @@ def _e2e_phase(spark) -> dict:
         )
         srcd = deduped.withColumn(
             "source",
-            F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string")),
+            F.when(
+                F.col("doc_id") >= 2_000_000, F.lit("exam")
+            ).otherwise(
+                F.concat(F.lit("s"), (F.col("doc_id") % 16).cast("string"))
+            ),
         )
         mw = {f"s{i}": float(1 + (i % 3)) for i in range(8)}
+        mw["exam"] = 1.0
         mixed = mixture_sample(
             srcd, mixture_plan(srcd, mw, target_tokens=10_000_000)
         )
@@ -696,7 +741,9 @@ def _e2e_phase(spark) -> dict:
             F.sum("n_docs").alias("n_docs"),
         ).first()
         return {
-            "stages": "gate>decontam>para_dedup>mixture>packing",
+            "stages": ("extract>gate>decontam>para_dedup>mixture>packing"
+                       if n_exam else
+                       "gate>decontam>para_dedup>mixture>packing"),
             "n_input_docs": DEDUP_DOCS,
             "wall_sec": round(time.time() - t0, 2),
             "n_packs": int(st["n_packs"] or 0),
@@ -1016,9 +1063,21 @@ def main() -> None:
 
     # extraction throughput at full parallelism (informational: this
     # sandbox host is shared, so >8-way runs see noisy-neighbor
-    # contention — the controlled pair below is pinned 1 vs 4 cores)
-    t_full = min(run_to_noop(pipeline.extract_flat_spans(corpus_docs))
-                 for _ in range(2))
+    # contention — the controlled pair below is pinned 1 vs 4 cores).
+    # r6 (VERDICT item 4): this was the ONE headline number without a
+    # calibration bracket (it moved −29% in r5 with zero kernel diffs
+    # and the claim "ambient" was inference) — bracket it like the
+    # phase-1 queries: min-of-3 with {calib, quiet} recorded, plus one
+    # bounded retry when every sample ran loud.
+    full_samples = [
+        timed_quiet(pipeline.extract_flat_spans(corpus_docs))
+        for _ in range(3)
+    ]
+    if all(c > cal_floor[0] * 1.3 for _, c in full_samples):
+        full_samples.append(
+            timed_quiet(pipeline.extract_flat_spans(corpus_docs))
+        )
+    t_full, t_full_calib = min(full_samples)
 
     # ── phase 1b: giant-doc dispatch; phase 1c: dedup/ANN at scale ──
     giant = _giant_phase(spark, corpus_docs) if GIANT_SPANS else None
@@ -1033,7 +1092,8 @@ def main() -> None:
         _curation_phase(spark) if (CURATION_PHASE and DEDUP_DOCS) else None
     )
     pipeline_e2e = (
-        _e2e_phase(spark) if (CURATION_PHASE and DEDUP_DOCS) else None
+        _e2e_phase(spark, corpus_docs)
+        if (CURATION_PHASE and DEDUP_DOCS) else None
     )
     spark.stop()
     # pinned subprocess probes need the parent session gone
@@ -1112,6 +1172,13 @@ def main() -> None:
                 "corpus_docs": n_docs, "corpus_spans": int(n_spans),
                 f"docs_per_sec_local[{CPUS}]": round(n_docs / t_full, 1),
                 f"spans_per_sec_local[{CPUS}]": round(n_spans / t_full, 1),
+                f"full_width_calibration": {
+                    "wall_sec": round(t_full, 3),
+                    "calib": round(t_full_calib, 4),
+                    "quiet": bool(t_full_calib <= cal_floor[0] * 1.3),
+                    "samples": [[round(w, 3), round(c, 4)]
+                                for w, c in full_samples],
+                },
             },
         }
         print(json.dumps(out))
@@ -1224,6 +1291,13 @@ def main() -> None:
             "scale_corpus_spans": scale_spans,
             f"docs_per_sec_local[{CPUS}]": round(n_docs / t_full, 1),
             f"spans_per_sec_local[{CPUS}]": round(n_spans / t_full, 1),
+            "full_width_calibration": {
+                "wall_sec": round(t_full, 3),
+                "calib": round(t_full_calib, 4),
+                "quiet": bool(t_full_calib <= cal_floor[0] * 1.3),
+                "samples": [[round(w, 3), round(c, 4)]
+                            for w, c in full_samples],
+            },
             f"docs_per_sec_local[{n_small}]": round(thr[n_small], 1),
             f"docs_per_sec_local[{n_big}]": round(thr[n_big], 1),
             f"spans_per_sec_local[{n_small}]": round(

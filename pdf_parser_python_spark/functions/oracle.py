@@ -303,6 +303,27 @@ _SHINGLES = """
          ELSE [array_to_string(toks, ' ')] END
 """
 
+#: HASH-shingles over a per-token hash array ``th`` — parity with the
+#: round-6 operators/dedup.minhash_signatures: a shingle's base hash
+#: combines the 3 consecutive token hashes through the md5 combiner
+#: (decimal renderings joined with ':', "0:" seed prefix —
+#: functions/hashing.md5_64_combine). Degenerate docs (<3 tokens) take
+#: one shingle over all token hashes; array_to_string of the short
+#: array matches concat_ws's null-skip on the Spark side.
+_HASH_SHINGLES = (
+    "\n    CASE WHEN len(th) >= 3\n"
+    "         THEN list_distinct(list_transform(range(0, len(th) - 2),\n"
+    "              i -> "
+    + md5_64_sql(
+        "th[i+1]::VARCHAR || ':' || th[i+2]::VARCHAR"
+        " || ':' || th[i+3]::VARCHAR",
+        0,
+    )
+    + "))\n         ELSE ["
+    + md5_64_sql("array_to_string(th, ':')", 0)
+    + "] END\n"
+)
+
 _TOKS_L = ("list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
            " x -> x <> '')")
 _TOKS_RAW = ("list_filter(regexp_split_to_array(trim(text), '\\s+'),"
@@ -313,7 +334,8 @@ def dedup_minhash_sql(k: int = 32, bands: int = 16,
                       threshold: float = 0.5,
                       max_bucket: int = 4096) -> str:
     rpb = k // bands
-    h_shingle = md5_64_sql("s", "j::VARCHAR")
+    h_tok = md5_64_sql("t", 0)
+    h_seed = md5_64_sql("h::VARCHAR", "j::VARCHAR")
     band_key = " || ':' || ".join(
         f"sig[b*{rpb}+{r}+1]::VARCHAR" for r in range(rpb)
     )
@@ -323,13 +345,15 @@ WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000, text || ' trailing edit token' FROM documents),
-sh AS (
-    SELECT doc_id, {_SHINGLES} AS sh
+th AS (
+    SELECT doc_id, list_transform(toks, t -> {h_tok}) AS th
     FROM (SELECT doc_id, {_TOKS_L} AS toks FROM corpus)),
+sh AS (
+    SELECT doc_id, {_HASH_SHINGLES} AS bh FROM th),
 sigs AS (
     SELECT doc_id,
            list_transform(range(0, {k}), j ->
-               list_min(list_transform(sh, s -> {h_shingle}))) AS sig
+               list_min(list_transform(bh, h -> {h_seed}))) AS sig
     FROM sh),
 bkts AS (
     -- mirrors the operator's max_bucket skew guard (dedup.py): band
@@ -386,7 +410,8 @@ def dedup_clusters_sql(k: int = 32, bands: int = 16) -> str:
     converge in ≤3 squarings — 32 hops is a wide margin, and a deeper
     corpus would fail the gate loudly rather than silently agree)."""
     rpb = k // bands
-    h_shingle = md5_64_sql("s", "j::VARCHAR")
+    h_tok = md5_64_sql("t", 0)
+    h_seed = md5_64_sql("h::VARCHAR", "j::VARCHAR")
     band_key = " || ':' || ".join(
         f"sig[b*{rpb}+{r}+1]::VARCHAR" for r in range(rpb)
     )
@@ -396,13 +421,15 @@ WITH corpus AS (
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000, text || ' trailing edit token' FROM documents),
-sh AS (
-    SELECT doc_id, {_SHINGLES} AS sh
+th AS (
+    SELECT doc_id, list_transform(toks, t -> {h_tok}) AS th
     FROM (SELECT doc_id, {_TOKS_L} AS toks FROM corpus)),
+sh AS (
+    SELECT doc_id, {_HASH_SHINGLES} AS bh FROM th),
 sigs AS (
     SELECT doc_id,
            list_transform(range(0, {k}), j ->
-               list_min(list_transform(sh, s -> {h_shingle}))) AS sig
+               list_min(list_transform(bh, h -> {h_seed}))) AS sig
     FROM sh),
 bkts AS (
     SELECT doc_id, b, {h_band} AS bucket

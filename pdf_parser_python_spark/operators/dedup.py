@@ -53,24 +53,61 @@ def minhash_signatures(
     documents: DataFrame, text_col: str = "text", k: int = 32,
     shingle_k: int = 3, hasher: Hasher = xx64,
 ) -> DataFrame:
-    """doc_id → array of K minhash values (native: per-seed min over
-    hasher(shingle, seed))."""
-    sh = shingles(F.col(text_col), shingle_k).alias("sh")
+    """doc_id → array of K minhash values.
 
-    def perm(seed: int):
-        # NB: must be a one-arg lambda — a second lambda parameter would
-        # be bound to the element index by the HOF machinery
-        return lambda s: hasher(s, seed)
+    Shingles are HASH-SHINGLED, never materialized as strings: each
+    token is hashed once, a shingle's base hash combines the
+    ``shingle_k`` consecutive token hashes (fixed 8-byte lanes —
+    ``xxhash64(h_i, h_i+1, h_i+2, seed)`` on the production path), and
+    the K seeded minhash variants re-hash the single base long. The
+    round-5 formulation hashed a materialized ``concat_ws`` string
+    K times per shingle; that made the stage memory-bandwidth-bound
+    (1→4-core step efficiency 0.58-0.78, BENCH_r05 dedup_core_probe)
+    — hash lanes keep the per-shingle working set at 8 bytes and the
+    K-seed pass string-free.
+
+    Degenerate docs (fewer than ``shingle_k`` tokens) take one shingle
+    over all tokens; null lanes are skipped by both combiners, so the
+    construction is well-defined down to empty text.
+    """
+    from ..functions.hashing import combiner_for
+    from .textstats import tokens
+
+    combine = combiner_for(hasher)
+    toks = tokens(F.lower(F.col(text_col)))
+    d = documents.select(
+        "doc_id", F.transform(toks, lambda t: hasher(t, 0)).alias("th")
+    )
+    th = F.col("th")
+    n = F.size(th)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    base = F.transform(
+        idx,
+        # NB: one-arg lambda — a second parameter would bind the index
+        lambda i: combine(
+            [F.get(th, i + j) for j in range(shingle_k)], 0
+        ),
+    )
+    short = F.array(combine([F.get(th, F.lit(j)) for j in range(shingle_k)], 0))
+    d = d.select(
+        "doc_id",
+        F.when(n >= shingle_k, F.array_distinct(base))
+        .otherwise(short)
+        .alias("bh"),
+    )
+    def seeded(s: int):
+        # NB: must return a ONE-arg lambda — a default-arg trick
+        # (lambda h, s=s) gives the function two parameters and the
+        # HOF machinery then binds the second to the element INDEX
+        return lambda h: combine([h], s)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("sh"), perm(i)))
-            for i in range(k)
+            F.array_min(F.transform(F.col("bh"), seeded(s)))
+            for s in range(k)
         ]
     )
-    return documents.select("doc_id", sh).select(
-        "doc_id", sig.alias("signature")
-    )
+    return d.select("doc_id", sig.alias("signature"))
 
 
 def minhash_band_buckets(
@@ -88,7 +125,10 @@ def minhash_band_buckets(
     :func:`minhash_lsh_pairs` instead of re-deriving it. Pass a
     precomputed ``sigs`` (doc_id, signature) to reuse one signature
     subtree across several consumers."""
+    from ..functions.hashing import combiner_for
+
     rows_per_band = k // bands
+    combine = combiner_for(hasher)
     if sigs is None:
         sigs = minhash_signatures(documents, text_col, k, shingle_k, hasher)
 
@@ -96,14 +136,11 @@ def minhash_band_buckets(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                hasher(
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.col("signature")[b * rows_per_band + r].cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    ),
+                combine(
+                    [
+                        F.col("signature")[b * rows_per_band + r]
+                        for r in range(rows_per_band)
+                    ],
                     0,
                 ).alias("bucket"),
             )
