@@ -1427,9 +1427,13 @@ WITH inv AS (
 w(source, weight) AS (VALUES {vals})
 SELECT inv.source AS source, n_docs, tokens_avail,
        {tgt} AS tokens_target,
-       floor({tgt} / tokens_avail)::BIGINT AS n_epochs,
-       floor(({tgt} % tokens_avail)::DOUBLE / tokens_avail::DOUBLE
-             * 1000000)::BIGINT AS residual_ppm
+       CASE WHEN tokens_avail > 0
+            THEN floor({tgt} / tokens_avail) ELSE 0 END::BIGINT
+           AS n_epochs,
+       CASE WHEN tokens_avail > 0
+            THEN floor(({tgt} % tokens_avail)::DOUBLE
+                       / tokens_avail::DOUBLE * 1000000)
+            ELSE 0 END::BIGINT AS residual_ppm
 FROM inv JOIN w USING (source)"""
 
 

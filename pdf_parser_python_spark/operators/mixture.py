@@ -77,9 +77,14 @@ def mixture_plan(
         inv.join(F.broadcast(wdf), source_col)
         .withColumn("tokens_target", tgt)
         .withColumn(
+            # a weighted source whose docs are all empty (tokens_avail
+            # 0) plans zero copies instead of tripping ANSI
+            # divide-by-zero mid-job
             "n_epochs",
-            F.floor(F.col("tokens_target") / F.col("tokens_avail"))
-            .cast("bigint"),
+            F.when(
+                F.col("tokens_avail") > 0,
+                F.floor(F.col("tokens_target") / F.col("tokens_avail")),
+            ).otherwise(F.lit(0)).cast("bigint"),
         )
         .withColumn(
             # divide BEFORE multiplying, in double: the naive
@@ -88,12 +93,15 @@ def mixture_plan(
             # double path is exact to ~1e-10 ppm; the oracle SQL uses
             # the identical IEEE association order for parity.
             "residual_ppm",
-            F.floor(
-                (F.col("tokens_target") % F.col("tokens_avail"))
-                .cast("double")
-                / F.col("tokens_avail").cast("double")
-                * PPM
-            ).cast("bigint"),
+            F.when(
+                F.col("tokens_avail") > 0,
+                F.floor(
+                    (F.col("tokens_target") % F.col("tokens_avail"))
+                    .cast("double")
+                    / F.col("tokens_avail").cast("double")
+                    * PPM
+                ),
+            ).otherwise(F.lit(0)).cast("bigint"),
         )
     )
     return plan.select(

@@ -162,3 +162,52 @@ def test_plan_and_sampler_laws(spark, docs_spec, wspec, target):
     prow = {r["source"]: r for r in plan_rows}
     for r in out.collect():
         assert r["count"] - prow[r["source"]]["n_epochs"] in (0, 1)
+
+
+def test_weighted_source_with_zero_corpus_tokens(spark):
+    """r6 (VERDICT item 8): a source that appears in the weight recipe
+    AND in the corpus but whose docs are all empty (tokens_avail = 0)
+    must not divide by zero or emit a phantom plan row the sampler
+    would explode on."""
+    rows = [(0, "s0", "a b c d e"), (1, "s1", ""), (2, "s1", "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = mixture_plan(df, {"s0": 1.0, "s1": 1.0}, 100)
+    got = {r["source"]: r for r in plan.collect()}
+    assert got["s0"]["tokens_target"] == 50
+    # s1: tokens_avail 0 → epochs/residual must be well-defined (null
+    # from x/0 is acceptable only if the sampler then keeps 0 copies)
+    out = mixture_sample(df, plan).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert 1 not in ids and 2 not in ids  # nothing sampled from s1
+    assert ids.count(0) == got["s0"]["n_epochs"] + (
+        1 if ids.count(0) > got["s0"]["n_epochs"] else 0
+    )
+
+
+def test_weight_for_source_absent_from_corpus(spark):
+    """A recipe entry with no corpus rows simply yields no plan row
+    (inner join) — and the sampler output carries only planned docs."""
+    df = spark.createDataFrame(
+        [(0, "s0", "a b"), (1, "s0", "c d")],
+        "doc_id long, source string, text string",
+    )
+    plan = mixture_plan(df, {"s0": 1.0, "ghost": 9.0}, 40)
+    assert {r["source"] for r in plan.collect()} == {"s0"}
+    out = mixture_sample(df, plan)
+    assert out.where(F.col("source") != "s0").count() == 0
+
+
+def test_residual_ppm_no_bigint_wrap(spark):
+    """ADVICE r5: tokens_avail beyond 9.2e12 wrapped the old
+    (rem * 1e6) BIGINT product negative, silently zeroing residual
+    sampling. The double divide-first path must stay in [0, PPM)."""
+    df = spark.createDataFrame(
+        [(i, "s", "x") for i in range(3)],
+        "doc_id long, source string, text string",
+    )
+    plan = mixture_plan(
+        df, {"s": 1.0}, 10**16,
+        n_tokens=F.lit(4 * 10**12).cast("long"),
+    ).collect()[0]
+    assert 0 <= plan["residual_ppm"] < PPM
+    assert plan["residual_ppm"] == 333333  # 1e16/3 = .33e12 rem over 1.2e13

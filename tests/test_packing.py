@@ -65,3 +65,66 @@ def test_no_unpartitioned_corpus_window(spark):
     for w in wins:
         if "n_tokens" in w and "_tot" not in w:
             assert "windowspecdefinition(_b" in w, w
+
+
+def test_zero_token_docs_at_bucket_boundaries(spark):
+    """r6 (VERDICT item 8): empty docs sitting exactly on bucket edges
+    must get the running start of their position (width 0) and never
+    shift a neighbor's offset."""
+    bw = 8
+    rows = []
+    for i in range(40):
+        # empty docs at every bucket edge (i % bw in {0, bw-1}), else 5
+        nt = 0 if i % bw in (0, bw - 1) else 5
+        rows.append((i, " ".join("w" for _ in range(nt))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start"], r["pack_id"],
+                         r["pack_offset"])
+           for r in pack_sequences(df, seq_len=16, bucket_width=bw).collect()}
+    start = 0
+    for i, t in rows:
+        nt = len(t.split())
+        assert got[i] == (nt, start, start // 16, start % 16), i
+        start += nt
+
+
+def test_doc_straddling_three_packs(spark):
+    """A doc longer than seq_len is assigned to the pack holding its
+    FIRST token; the following doc starts after the straddle."""
+    rows = [(0, " ".join("w" for _ in range(10))),
+            (1, " ".join("w" for _ in range(70))),   # spans packs 0..2+
+            (2, " ".join("w" for _ in range(4)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, seq_len=32, bucket_width=2).collect()}
+    assert (got[1]["start"], got[1]["pack_id"], got[1]["pack_offset"]) == (
+        10, 0, 10)
+    # doc 1 occupies tokens 10..79 → crosses packs 0,1,2 — doc 2 starts
+    # at 80 in pack 2
+    assert (got[2]["start"], got[2]["pack_id"], got[2]["pack_offset"]) == (
+        80, 2, 16)
+    st = {r["pack_id"]: r for r in
+          pack_stats(pack_sequences(df, seq_len=32, bucket_width=2),
+                     seq_len=32).collect()}
+    # start-fill accounting: pack 0 holds doc0+doc1 starts (80 tokens
+    # begin there → fill 2.5), packs 1 has no starts (absent), pack 2
+    # holds doc2's 4
+    assert st[0]["n_tokens"] == 80 and float(st[0]["fill_ratio"]) == 2.5
+    assert 1 not in st
+    assert st[2]["n_tokens"] == 4
+
+
+def test_epoch_tiebreaker_deterministic_and_ordered(spark):
+    """Duplicated doc_ids with an epoch column (mixture upsampling
+    shape) order by (doc_id, epoch): same assignment on every run and
+    epoch 1 packs before epoch 2 of the same doc."""
+    rows = [(i % 3, 1 + i // 3, "a b c d") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, epoch int, text string")
+    a = sorted(map(tuple, pack_sequences(df, seq_len=8, bucket_width=2)
+                   .collect()))
+    b = sorted(map(tuple, pack_sequences(df, seq_len=8, bucket_width=2)
+                   .collect()))
+    assert a == b
+    got = {(r[0], r[1]): r for r in a}  # (doc_id, epoch) → row
+    for d in range(3):
+        assert got[(d, 1)][3] < got[(d, 2)][3]  # start asc in epoch
