@@ -1279,6 +1279,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["html_main_content"] = html_main_content
 
+    # — r6: composition queries — the e2e pipeline's stage boundaries
+    #   value-checked as ONE plan, not per stage —
+    def exam_reassemble(spark, sf):
+        # stage 1 of bench's pipeline_e2e: FSM flat spans → one text
+        # per doc, deterministic (seq, order) sequence
+        _ensure_shipped(spark)
+        flat = pipeline.extract_flat_spans(_spans_table(spark, sf)).where(
+            F.col("kind") == "text"
+        )
+        return flat.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq", "order", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").cast("bigint").alias("n_text_spans"),
+        )
+
+    def compose_pack(spark, sf):
+        # curation gate → keep semi-join → sequence packing, composed
+        # lazily (zero intermediate materialization — the 100-TB shape)
+        from pdf_parser_python_spark.operators.curation import (
+            curation_filter,
+        )
+        from pdf_parser_python_spark.operators.packing import (
+            pack_sequences,
+        )
+        from pdf_parser_python_spark.operators.repetition import (
+            chunked_lines,
+        )
+
+        d = _docs(spark, sf, "documents")
+        # passthrough text ⇒ the keep-filter is MAP-SIDE: no corpus
+        # re-join between gate and packing (at 100 TB a gate→filter
+        # semi-join would shuffle the whole corpus on doc_id)
+        kept = curation_filter(
+            d, lines=chunked_lines(F.col("text"), 10),
+            passthrough=("text",),
+        ).where("keep")
+        return pack_sequences(kept, seq_len=512)
+
+    q["exam_reassemble"] = exam_reassemble
+    q["compose_pack"] = compose_pack
+
     # ── gate-window curation ─────────────────────────────────────────
     # The driver's correctness gate checks the FIRST 50 registered
     # queries, so registration order IS the coverage policy. Round 6
@@ -1309,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed in round 6 (oracle cast / overflow fix / tiebreaker)
         "pack_assign", "pack_rollup", "mix_plan", "mix_sample",
         "dedup_minhash",
+        # new in round 6 (composition queries)
+        "exam_reassemble", "compose_pack",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1379,6 +1429,8 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _oracle.top_ngrams_sql(),
         "pack_assign": _oracle.packing_sql(),
         "pack_rollup": _oracle.pack_stats_sql(),
+        "exam_reassemble": _oracle.exam_reassemble_sql(),
+        "compose_pack": _oracle.compose_pack_sql(),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

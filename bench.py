@@ -702,13 +702,15 @@ def _e2e_phase(spark, corpus_docs=None) -> dict:
             )
             docs = docs.unionByName(exam)
             n_exam = 1  # marker; exact count folds into sampled_docs
-        gate = curation_filter(
+        # r6: text passes THROUGH the gate kernel so the keep-filter
+        # is map-side — no gate→corpus semi-join (which shuffles the
+        # whole corpus on doc_id; at 1M docs the join build cost the
+        # e2e run a full extra Exchange pair)
+        kept = curation_filter(
             docs, engine="arrow", line_width=10,
             min_quality=0, langs=("en", "und"),
-        )
-        kept = docs.join(
-            gate.where("keep").select("doc_id"), "doc_id", "left_semi"
-        )
+            passthrough=("text",),
+        ).where("keep").select("doc_id", "text")
         clean = decontaminated(kept, bench_prompts)
         deduped = paragraph_dedup(
             clean, paragraphs=chunked_lines(F.col("text"), 15)

@@ -1382,12 +1382,14 @@ ORDER BY cnt DESC, gram
 LIMIT {k}"""
 
 
-def packing_sql(seq_len: int = 2048) -> str:
+def packing_sql(seq_len: int = 2048, source: str = "documents") -> str:
     """Twin of packing.pack_sequences (pack_assign driver query): the
-    two-phase bucketed prefix sum equals one global ordered cumsum."""
+    two-phase bucketed prefix sum equals one global ordered cumsum.
+    ``source`` may name a CTE so compositions (compose_pack) can pack
+    a filtered corpus."""
     return f"""
 WITH t AS (
-    SELECT doc_id, len({_TOKS_RAW})::BIGINT AS n_tokens FROM documents),
+    SELECT doc_id, len({_TOKS_RAW})::BIGINT AS n_tokens FROM {source}),
 c AS (
     SELECT doc_id, n_tokens,
            (sum(n_tokens) OVER (ORDER BY doc_id
@@ -1398,6 +1400,32 @@ SELECT doc_id, n_tokens, start,
        cast(floor(start / {seq_len}.0) AS BIGINT) AS pack_id,
        (start % {seq_len})::BIGINT AS pack_offset
 FROM c"""
+
+
+def exam_reassemble_sql(q: int = 8) -> str:
+    """Twin of the exam_reassemble driver query — the e2e pipeline's
+    stage-1 boundary: extraction FSM flat spans reassembled into one
+    text per document in (seq, "order") sequence (bench.py
+    _e2e_phase feeds exactly this text into the curation gate)."""
+    return f"""
+WITH flat AS ({extract_flat_spans_sql(q)})
+SELECT doc_id,
+       string_agg(text, ' ' ORDER BY seq, "order") AS text,
+       count(*)::BIGINT AS n_text_spans
+FROM flat WHERE kind = 'text' GROUP BY doc_id"""
+
+
+def compose_pack_sql(seq_len: int = 512) -> str:
+    """Twin of the compose_pack driver query: curation gate → keep
+    semi-join → sequence packing, composed — the oracle nests the full
+    curation verdict and packs only kept docs, value-checking the
+    COMPOSITION (stage boundaries included), not just each stage."""
+    return f"""
+WITH g AS ({curation_sql()}),
+kept AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN g USING (doc_id) WHERE g.keep)
+SELECT * FROM ({packing_sql(seq_len, "kept")}) p"""
 
 
 def pack_stats_sql(seq_len: int = 2048) -> str:

@@ -27,7 +27,8 @@ from .textstats import lang_guess, quality_score, token_count
 RULES = ("low_quality", "lang", "dup_lines", "repetitive_ngram", "too_short")
 
 
-def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None):
+def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None,
+                        passthrough: tuple[str, ...] = ()):
     """All five gate metrics in ONE mapInPandas kernel. Python mirrors
     of the native expressions, exact by construction: quality's
     character classes are pure ASCII (identical in Java regex, RE2 and
@@ -66,6 +67,7 @@ def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None):
             StructField("_dlf", DoubleType()),
             StructField("_tncf", DoubleType()),
         ]
+        + [StructField(p, staged.schema[p].dataType) for p in passthrough]
     )
 
     def kernel(batches):
@@ -74,6 +76,8 @@ def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None):
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "quality", "lang_guess",
                                    "n_tokens", "_dlf", "_tncf")}
+            for p in passthrough:
+                out[p] = pdf[p]
             for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
                 text = text if isinstance(text, str) else ""
                 toks = java_tokens(text, ws_re)
@@ -111,6 +115,7 @@ def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None):
         "n_tokens",
         F.round("_dlf", 4).alias("dup_line_frac"),
         F.round("_tncf", 4).alias("top_ngram_char_frac"),
+        *[F.col(p) for p in passthrough],
     )
 
 
@@ -126,6 +131,7 @@ def curation_filter(
     lines: Column | None = None,
     engine: str = "native",
     line_width: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-doc curation verdict: metrics, failed-rule ``reasons``
     (comma-joined, fixed order), and a ``keep`` flag.
@@ -145,11 +151,23 @@ def curation_filter(
     truncating arithmetic — differential-tested equal to the native
     engine. Still one MapInPandas, zero Exchange. ``line_width``
     selects chunked pseudo-lines for the arrow engine (None = split on
-    newlines)."""
+    newlines).
+
+    ``passthrough`` names input columns to carry through the verdict
+    unchanged, so a downstream stage can ``.where("keep")`` and keep
+    going WITHOUT re-joining the corpus: at 100 TB the gate→filter
+    semi-join shuffles the whole corpus on doc_id, while passthrough
+    keeps the composition map-only (on the arrow engine the columns
+    ride through the kernel batch — extra Arrow transfer, still zero
+    Exchange; bench's compose_pack measures the trade)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     if engine == "arrow":
         m = _gate_metrics_arrow(
-            documents.select("doc_id", c.alias("_text")), n, line_width
+            documents.select(
+                "doc_id", c.alias("_text"),
+                *[F.col(p) for p in passthrough],
+            ),
+            n, line_width, passthrough,
         )
     else:
         if lines is None:
@@ -162,6 +180,7 @@ def curation_filter(
             c.alias("_text"),
             lines.alias("_lns"),
             word_ngrams(c, n).alias("_grams"),
+            *[F.col(p) for p in passthrough],
         )
         lr = line_repetition(F.col("_lns"))
         nr = ngram_repetition(F.col("_text"), n, grams=F.col("_grams"))
@@ -173,6 +192,7 @@ def curation_filter(
             token_count(t).cast("bigint").alias("n_tokens"),
             lr["dup_line_frac"].alias("dup_line_frac"),
             nr["top_ngram_char_frac"].alias("top_ngram_char_frac"),
+            *[F.col(p) for p in passthrough],
         )
     checks = [
         (F.col("quality") < min_quality, "low_quality"),

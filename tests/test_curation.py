@@ -115,3 +115,27 @@ def test_arrow_engine_matches_native_hostile_chars(spark):
         for r in curation_filter(docs, engine="arrow").collect()
     }
     assert nat == arw
+
+
+def test_passthrough_columns_both_engines(spark):
+    """r6: passthrough carries input columns through the verdict
+    unchanged on BOTH engines, so compositions can .where('keep')
+    map-side instead of semi-joining the corpus."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and is in that for with the end. " * 3, "web"),
+        (2, "xy", "code"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    outs = {}
+    for eng in ("native", "arrow"):
+        out = curation_filter(
+            df, engine=eng, line_width=10, passthrough=("text", "src")
+        )
+        assert set(("text", "src", "keep")) <= set(out.columns)
+        outs[eng] = {r["doc_id"]: r.asDict() for r in out.collect()}
+        for i, text, src in rows:
+            assert outs[eng][i]["text"] == text
+            assert outs[eng][i]["src"] == src
+    assert outs["native"] == outs["arrow"]
