@@ -1324,8 +1324,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).where("keep")
         return pack_sequences(kept, seq_len=512)
 
+    def compose_e2e(spark, sf):
+        # the WHOLE curation path, lazily composed and value-checked:
+        # gate → keep (map-side via passthrough) → 8-gram decontam
+        # (prompts from the RAW corpus) → corpus-wide paragraph dedup →
+        # mixture plan + md5-ppm sampling → epoch re-key → packing.
+        # Mirrors bench.py's pipeline_e2e stage order at driver scale.
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.operators.contamination import (
+            decontaminated,
+        )
+        from pdf_parser_python_spark.operators.curation import (
+            curation_filter,
+        )
+        from pdf_parser_python_spark.operators.dedup import (
+            paragraph_dedup,
+        )
+        from pdf_parser_python_spark.operators.mixture import (
+            mixture_plan,
+            mixture_sample,
+        )
+        from pdf_parser_python_spark.operators.packing import (
+            pack_sequences,
+        )
+        from pdf_parser_python_spark.operators.repetition import (
+            chunked_lines,
+        )
+
+        d = _docs(spark, sf, "documents")
+        kept = curation_filter(
+            d, lines=chunked_lines(F.col("text"), 10),
+            passthrough=("text", "source"),
+        ).where("keep").select("doc_id", "text", "source")
+        clean = decontaminated(kept, _bench_set(d), n=8, hasher=md5_64)
+        dd = paragraph_dedup(
+            clean,
+            paragraphs=chunked_lines(F.col("text"), 15),
+            hasher=md5_64,
+            out_sep=" | ",
+        )
+        corp = (
+            dd.where(F.col("n_kept") > 0)
+            .join(clean.select("doc_id", "source"), "doc_id")
+            .select(
+                "doc_id", F.col("text_deduped").alias("text"), "source"
+            )
+        )
+        mixed = mixture_sample(
+            corp, mixture_plan(corp, _MIX_WEIGHTS, _MIX_TARGET)
+        )
+        pk = mixed.select(
+            (F.col("doc_id") * 1024 + F.col("epoch")).alias("doc_id"),
+            "text",
+        )
+        return pack_sequences(pk, seq_len=256)
+
     q["exam_reassemble"] = exam_reassemble
     q["compose_pack"] = compose_pack
+    q["compose_e2e"] = compose_e2e
 
     # ── gate-window curation ─────────────────────────────────────────
     # The driver's correctness gate checks the FIRST 50 registered
@@ -1358,7 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assign", "pack_rollup", "mix_plan", "mix_sample",
         "dedup_minhash",
         # new in round 6 (composition queries)
-        "exam_reassemble", "compose_pack",
+        "exam_reassemble", "compose_pack", "compose_e2e",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1431,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_rollup": _oracle.pack_stats_sql(),
         "exam_reassemble": _oracle.exam_reassemble_sql(),
         "compose_pack": _oracle.compose_pack_sql(),
+        "compose_e2e": _oracle.compose_e2e_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

@@ -1199,11 +1199,11 @@ LEFT JOIN gstats gs ON t.doc_id = gs.doc_id"""
 #: benchmark synthesized from the corpus itself (every 7th doc's first
 #: 12 raw tokens) — mirrors the decontam driver queries exactly.
 _DECONTAM_CTES = """
-lt AS (SELECT doc_id, {toks_l} AS ltoks, {toks_raw} AS rtoks
-       FROM documents),
+lt AS (SELECT doc_id, {toks_l} AS ltoks FROM {corpus}),
+blt AS (SELECT doc_id, {toks_raw} AS rtoks FROM {bench_src}),
 bench AS (
     SELECT array_to_string(rtoks[1:12], ' ') AS text
-    FROM lt WHERE doc_id % 7 = 0),
+    FROM blt WHERE doc_id % 7 = 0),
 btoks AS (
     SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                        x -> x <> '') AS btk
@@ -1231,10 +1231,14 @@ matched AS (
     GROUP BY d.doc_id)"""
 
 
-def _decontam_ctes(n: int = 8) -> str:
+def _decontam_ctes(n: int = 8, corpus: str = "documents",
+                   bench_src: str = "documents") -> str:
+    """``corpus`` / ``bench_src`` may name CTEs so compositions
+    (compose_e2e) can decontaminate a gated corpus against prompts
+    carved from the raw one."""
     return _DECONTAM_CTES.format(
         toks_l=_TOKS_L, toks_raw=_TOKS_RAW, n=n, n1=n - 1,
-        hash_g=md5_64_sql("gram"),
+        hash_g=md5_64_sql("gram"), corpus=corpus, bench_src=bench_src,
     )
 
 
@@ -1329,14 +1333,15 @@ SELECT doc_id, quality, lang_guess, n_tokens, dup_line_frac,
 FROM verdict"""
 
 
-def paragraph_dedup_sql(width: int = 15) -> str:
+def paragraph_dedup_sql(width: int = 15,
+                        source: str = "documents") -> str:
     """Twin of dedup.paragraph_dedup as run by the para_dedup driver
     query (pseudo-paragraphs = width-token chunks, md5 hashing,
     ' | ' output separator). The operator's min(struct) winner equals
     row_number()=1 under (doc_id, pos) order — keys are unique."""
     h = md5_64_sql("para")
     return f"""
-WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM documents),
+WITH t AS (SELECT doc_id, {_TOKS_RAW} AS toks FROM {source}),
 p0 AS (
     SELECT doc_id, toks,
            unnest(range(0, cast(ceil(len(toks) / {width}.0) AS INT)))
@@ -1428,6 +1433,45 @@ kept AS (
 SELECT * FROM ({packing_sql(seq_len, "kept")}) p"""
 
 
+def compose_e2e_sql(
+    weights: dict[str, float],
+    target_tokens: int,
+    seq_len: int = 256,
+    n: int = 8,
+    para_width: int = 15,
+) -> str:
+    """Twin of the compose_e2e driver query — the ENTIRE curation
+    path composed and value-checked as one statement: curation gate →
+    keep → 8-gram decontamination (prompts carved from the RAW corpus,
+    matching bench.py's recipe) → corpus-wide paragraph dedup →
+    mixture plan + md5-ppm sampling → epoch re-key → sequence packing.
+    Every stage nests its standalone twin with the ``source``/
+    ``corpus`` parameter, so a stage-twin fix propagates here
+    automatically."""
+    return f"""
+WITH g AS ({curation_sql()}),
+kept AS (
+    SELECT d.doc_id, d.text, d.source FROM documents d
+    JOIN g USING (doc_id) WHERE g.keep),
+dmatched AS (
+    SELECT doc_id FROM (
+        WITH {_decontam_ctes(n, corpus="kept")}
+        SELECT doc_id FROM matched) m),
+clean AS (
+    SELECT k.* FROM kept k ANTI JOIN dmatched USING (doc_id)),
+dd AS (SELECT * FROM ({paragraph_dedup_sql(para_width, source="clean")}) x),
+corp AS (
+    SELECT dd.doc_id, dd.text_deduped AS text, c.source
+    FROM dd JOIN clean c USING (doc_id) WHERE dd.n_kept > 0),
+samp AS (
+    SELECT * FROM (
+        {mixture_sample_sql(weights, target_tokens, source="corp")}) s),
+pk AS (
+    SELECT (s.doc_id * 1024 + s.epoch) AS doc_id, c.text
+    FROM samp s JOIN corp c USING (doc_id))
+SELECT * FROM ({packing_sql(seq_len, source="pk")}) p"""
+
+
 def pack_stats_sql(seq_len: int = 2048) -> str:
     return f"""
 WITH p AS ({packing_sql(seq_len)})
@@ -1437,7 +1481,8 @@ SELECT pack_id, count(*)::BIGINT AS n_docs,
 FROM p GROUP BY pack_id"""
 
 
-def mixture_plan_sql(weights: dict[str, float], target_tokens: int) -> str:
+def mixture_plan_sql(weights: dict[str, float], target_tokens: int,
+                     source: str = "documents") -> str:
     """Twin of mixture.mixture_plan (mix_plan driver query). The float
     arithmetic is written with the SAME association order as the Spark
     expression (weight * target / wsum) so floor() sees an identical
@@ -1451,7 +1496,7 @@ def mixture_plan_sql(weights: dict[str, float], target_tokens: int) -> str:
 WITH inv AS (
     SELECT source, count(*)::BIGINT AS n_docs,
            sum(len({_TOKS_RAW}))::BIGINT AS tokens_avail
-    FROM documents GROUP BY source),
+    FROM {source} GROUP BY source),
 w(source, weight) AS (VALUES {vals})
 SELECT inv.source AS source, n_docs, tokens_avail,
        {tgt} AS tokens_target,
@@ -1466,18 +1511,19 @@ FROM inv JOIN w USING (source)"""
 
 
 def mixture_sample_sql(
-    weights: dict[str, float], target_tokens: int, seed: int = 0
+    weights: dict[str, float], target_tokens: int, seed: int = 0,
+    source: str = "documents",
 ) -> str:
     """Twin of mixture.mixture_sample (mix_sample driver query): the
     md5-ppm draw + epochs as a lateral generate_series."""
     u = md5_64_sql("d.doc_id::varchar", seed)
     return f"""
-WITH plan AS ({mixture_plan_sql(weights, target_tokens)}),
+WITH plan AS ({mixture_plan_sql(weights, target_tokens, source)}),
 base AS (
     SELECT d.doc_id, d.source,
            (p.n_epochs + CASE WHEN {u} % 1000000 < p.residual_ppm
                               THEN 1 ELSE 0 END) AS n_copies
-    FROM documents d JOIN plan p USING (source))
+    FROM {source} d JOIN plan p USING (source))
 SELECT doc_id, source,
        unnest(generate_series(1, n_copies))::INT AS epoch
 FROM base WHERE n_copies >= 1"""
