@@ -803,6 +803,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_rollup"] = pack_rollup
 
+    # — r6: seeded pseudo-random packing order (training shuffle) —
+    def pack_shuffled(spark, sf):
+        from pdf_parser_python_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return pack_sequences(
+            d, seq_len=2048, bucket_width=64, shuffle_seed=7
+        )
+
+    q["pack_shuffled"] = pack_shuffled
+
     # — training-data: mixture plan + deterministic mixture sampling
     #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
     #   src2; md5-ppm draw → identical docs chosen on any cluster) —
@@ -1415,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash",
         # new in round 6 (composition queries)
         "exam_reassemble", "compose_pack", "compose_e2e",
+        "pack_shuffled",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1488,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "exam_reassemble": _oracle.exam_reassemble_sql(),
         "compose_pack": _oracle.compose_pack_sql(),
         "compose_e2e": _oracle.compose_e2e_sql(_MIX_WEIGHTS, _MIX_TARGET),
+        "pack_shuffled": _oracle.packing_sql(shuffle_seed=7),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

@@ -1387,17 +1387,23 @@ ORDER BY cnt DESC, gram
 LIMIT {k}"""
 
 
-def packing_sql(seq_len: int = 2048, source: str = "documents") -> str:
+def packing_sql(seq_len: int = 2048, source: str = "documents",
+                shuffle_seed: int | None = None) -> str:
     """Twin of packing.pack_sequences (pack_assign driver query): the
     two-phase bucketed prefix sum equals one global ordered cumsum.
     ``source`` may name a CTE so compositions (compose_pack) can pack
-    a filtered corpus."""
+    a filtered corpus; ``shuffle_seed`` mirrors the operator's seeded
+    pseudo-random order (60-bit md5 of the doc id, doc_id tiebreak)."""
+    order = (
+        "doc_id" if shuffle_seed is None
+        else md5_64_sql("doc_id::VARCHAR", shuffle_seed) + ", doc_id"
+    )
     return f"""
 WITH t AS (
     SELECT doc_id, len({_TOKS_RAW})::BIGINT AS n_tokens FROM {source}),
 c AS (
     SELECT doc_id, n_tokens,
-           (sum(n_tokens) OVER (ORDER BY doc_id
+           (sum(n_tokens) OVER (ORDER BY {order}
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - n_tokens)::BIGINT AS start
     FROM t)

@@ -33,12 +33,19 @@ from pyspark.sql.window import Window
 from .textstats import token_count
 
 
+#: u-space bucket shift for shuffled packing: md5-derived order keys
+#: are 60-bit, so dropping the low 44 bits yields ≤2^16 hash-uniform
+#: buckets — the per-bucket totals stay driver-scale by construction.
+_SHUFFLE_BUCKET_SHIFT = 44
+
+
 def pack_sequences(
     documents: DataFrame,
     seq_len: int = 2048,
     text_col: str = "text",
     n_tokens: Column | None = None,
     bucket_width: int = 65536,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Per-doc pack assignment: ``doc_id, n_tokens, start, pack_id,
     pack_offset``. ``documents.doc_id`` must be numeric (it is the
@@ -49,7 +56,18 @@ def pack_sequences(
     the assignment deterministic without re-keying; otherwise re-key
     duplicated ids first (bench's e2e phase uses ``doc_id*K + epoch``).
     Pass ``n_tokens`` to use a real tokenizer's counts instead of
-    whitespace tokens."""
+    whitespace tokens.
+
+    ``shuffle_seed`` switches the global order from ``doc_id``
+    ascending to a seeded pseudo-random permutation — the order key
+    becomes the 60-bit md5 hash of the doc id (doc_id tiebreak), so
+    adjacent documents in the token stream are decorrelated from crawl
+    /source order, the standard requirement for GPT-style training
+    packs. Same two-phase prefix sum, with hash-uniform u-space
+    buckets replacing id-range buckets; still deterministic at any
+    partitioning and cluster size, and reproducible per seed."""
+    from ..functions.hashing import md5_64
+
     if n_tokens is None:
         n_tokens = token_count(
             F.coalesce(F.col(text_col), F.lit(""))
@@ -57,12 +75,21 @@ def pack_sequences(
     order_cols = ["doc_id"] + (
         ["epoch"] if "epoch" in documents.columns else []
     )
+    if shuffle_seed is None:
+        sort_cols = list(order_cols)
+        bucket = F.floor(F.col("doc_id") / bucket_width)
+        extra: list = []
+    else:
+        u = md5_64(F.col("doc_id").cast("string"), shuffle_seed)
+        sort_cols = ["_u"] + order_cols
+        bucket = F.shiftright(F.col("_u"), _SHUFFLE_BUCKET_SHIFT)
+        extra = [u.alias("_u")]
     d = documents.select(
         *order_cols,
+        *extra,
         n_tokens.alias("n_tokens"),
-        F.floor(F.col("doc_id") / bucket_width).alias("_b"),
-    )
-    in_bucket = Window.partitionBy("_b").orderBy(*order_cols).rowsBetween(
+    ).withColumn("_b", bucket)
+    in_bucket = Window.partitionBy("_b").orderBy(*sort_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     d = d.withColumn("_cum_in_b", F.sum("n_tokens").over(in_bucket))

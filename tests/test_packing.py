@@ -128,3 +128,32 @@ def test_epoch_tiebreaker_deterministic_and_ordered(spark):
     got = {(r[0], r[1]): r for r in a}  # (doc_id, epoch) → row
     for d in range(3):
         assert got[(d, 1)][3] < got[(d, 2)][3]  # start asc in epoch
+
+
+def test_shuffled_packing_is_permutation_and_decorrelated(spark):
+    """r6: shuffle_seed packs a seeded pseudo-random global order —
+    same tokens, same pack count, different neighbor structure, and
+    reproducible per seed."""
+    rows = [(i, " ".join("w" for _ in range(5))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {r["doc_id"]: r["start"]
+             for r in pack_sequences(df, seq_len=64, bucket_width=16)
+             .collect()}
+    sh7a = {r["doc_id"]: r["start"]
+            for r in pack_sequences(df, seq_len=64, bucket_width=16,
+                                    shuffle_seed=7).collect()}
+    sh7b = {r["doc_id"]: r["start"]
+            for r in pack_sequences(df, seq_len=64, bucket_width=16,
+                                    shuffle_seed=7).collect()}
+    sh9 = {r["doc_id"]: r["start"]
+           for r in pack_sequences(df, seq_len=64, bucket_width=16,
+                                   shuffle_seed=9).collect()}
+    # permutation of the same token stream: identical start-offset SET
+    assert sorted(plain.values()) == sorted(sh7a.values())
+    # reproducible per seed; different seeds → different permutations
+    assert sh7a == sh7b
+    assert sh7a != sh9 and sh7a != plain
+    # decorrelated: consecutive doc_ids are no longer adjacent in the
+    # stream (plain order has all 199 adjacent pairs; hash order ~0)
+    adj = sum(1 for i in range(199) if abs(sh7a[i + 1] - sh7a[i]) == 5)
+    assert adj < 20, adj
