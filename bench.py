@@ -575,6 +575,14 @@ def _curation_phase(spark) -> dict:
         F.count("*").alias("packs"), F.sum("n_tokens").alias("tok")
     ).first()
     w_pack = time.time() - t0
+    # r6: seeded-shuffle order (md5 per doc + u-space buckets) — the
+    # training-ready permutation; measures the shuffle premium
+    t0 = time.time()
+    pk_sh = pack_stats(
+        pack_sequences(docs, seq_len=2048, shuffle_seed=7)
+    ).agg(F.count("*").alias("packs"), F.sum("n_tokens").alias("tok")).first()
+    w_pack_sh = time.time() - t0
+    assert int(pk_sh["tok"]) == int(pk["tok"])  # permutation, same tokens
     from pdf_parser_python_spark.operators.mixture import (
         mixture_plan,
         mixture_sample,
@@ -604,6 +612,7 @@ def _curation_phase(spark) -> dict:
         "n_docs": n_docs,
         "n_benchmark_prompts": int(n_bench),
         "wall_sec_packing": round(w_pack, 2),
+        "wall_sec_packing_shuffled": round(w_pack_sh, 2),
         "n_packs": int(pk["packs"]),
         "corpus_tokens": int(pk["tok"]),
         "wall_sec_pii_profile": round(w_pii, 2),
