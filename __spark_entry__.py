@@ -816,6 +816,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_shuffled"] = pack_shuffled
 
+    # — r6: per-source corpus health report (exact-integer parity) —
+    def corpus_report(spark, sf):
+        from pdf_parser_python_spark.operators.textstats import (
+            lang_guess,
+            quality_score,
+            token_count,
+        )
+
+        d = _docs(spark, sf, "documents")
+        t = F.coalesce(F.col("text"), F.lit(""))
+        per = d.select(
+            "source",
+            quality_score(t).cast("bigint").alias("q"),
+            token_count(t).cast("bigint").alias("nt"),
+            lang_guess(t).alias("lg"),
+        )
+        return per.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum("q").cast("double") / F.count("*").cast("double"),
+                4,
+            ).alias("avg_quality"),
+            F.min("q").cast("bigint").alias("min_quality"),
+            F.max("q").cast("bigint").alias("max_quality"),
+            F.sum((F.col("lg") == "en").cast("int"))
+            .cast("bigint")
+            .alias("n_en"),
+        )
+
+    q["corpus_report"] = corpus_report
+
     # — training-data: mixture plan + deterministic mixture sampling
     #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
     #   src2; md5-ppm draw → identical docs chosen on any cluster) —
@@ -1205,6 +1237,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_extract"] = streaming_extract
 
+    # — §2.8 extension: the curation gate as a streaming query, hash-
+    #   checked against the SAME batch oracle (stateless map ⇒ the
+    #   verdict computes inside the stream; exactly-once via ckpt) —
+    def streaming_gate(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import stream as _stream
+
+        # FileStreamSource needs a DIRECTORY; the sf table is a single
+        # parquet file — stage a symlink into a temp input dir
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_curation", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        src_dir = os.path.join(out, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        _stream.start_curation(spark, src_dir, out).awaitTermination()
+        return spark.read.parquet(os.path.join(out, "verdicts"))
+
+    q["streaming_gate"] = streaming_gate
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -1428,7 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash",
         # new in round 6 (composition queries)
         "exam_reassemble", "compose_pack", "compose_e2e",
-        "pack_shuffled",
+        "pack_shuffled", "corpus_report", "streaming_gate",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1503,6 +1561,8 @@ def oracle_sql() -> dict[str, str]:
         "compose_pack": _oracle.compose_pack_sql(),
         "compose_e2e": _oracle.compose_e2e_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "pack_shuffled": _oracle.packing_sql(shuffle_seed=7),
+        "corpus_report": _oracle.corpus_report_sql(),
+        "streaming_gate": _oracle.curation_sql(),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

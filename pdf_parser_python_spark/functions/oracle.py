@@ -578,6 +578,25 @@ SELECT doc_id,
 FROM m"""
 
 
+def corpus_report_sql() -> str:
+    """Twin of the corpus_report driver query: per-source corpus
+    health — doc/token counts, quality band, english fraction. All
+    aggregates are exact integer sums (average = one double division
+    at the end), so the hash check is bit-stable across engines."""
+    return f"""
+WITH q AS ({text_profile_sql()})
+SELECT d.source AS source,
+       count(*)::BIGINT AS n_docs,
+       sum(q.n_tokens)::BIGINT AS tokens,
+       round(sum(q.quality)::BIGINT::DOUBLE / count(*)::DOUBLE, 4)
+           AS avg_quality,
+       min(q.quality)::BIGINT AS min_quality,
+       max(q.quality)::BIGINT AS max_quality,
+       sum((q.lang_guess = 'en')::INT)::BIGINT AS n_en
+FROM documents d JOIN q USING (doc_id)
+GROUP BY d.source"""
+
+
 def _plane_lit(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
 

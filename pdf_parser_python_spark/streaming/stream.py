@@ -78,3 +78,53 @@ def start_extraction(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_text_documents_stream(
+    spark: SparkSession, input_dir: str
+) -> DataFrame:
+    """Stream of text documents (doc_id, text, ...) from a parquet
+    directory — schema taken from a one-time batch footer read (the
+    streaming source needs it declared up front)."""
+    sch = spark.read.parquet(input_dir).schema
+    return (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+
+def start_curation(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    available_now: bool = True,
+    line_width: int = 10,
+    **gate_kw,
+) -> StreamingQuery:
+    """Incremental curation: the composite keep/drop gate
+    (operators/curation.py) over a document stream. The native gate is
+    a single map-only projection — stateless per row — so the whole
+    verdict computes INSIDE the streaming query with exactly-once file
+    processing via the checkpoint; restarting after new corpus files
+    arrive gates only the new ones. Batch/streaming parity is
+    hash-checked by the streaming_gate driver query against the same
+    DuckDB oracle as the batch curation_gate."""
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import curation_filter
+    from ..operators.repetition import chunked_lines
+
+    stream = read_text_documents_stream(spark, input_dir)
+    gate = curation_filter(
+        stream, lines=chunked_lines(F.col("text"), line_width), **gate_kw
+    )
+    writer = (
+        gate.writeStream.format("parquet")
+        .option("path", os.path.join(output_dir, "verdicts"))
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -48,3 +48,48 @@ def test_streaming_incremental(spark):
         q3.awaitTermination(120)
         out3 = spark.read.parquet(os.path.join(output_dir, "questions"))
         assert out3.count() == expected1 + expected2
+
+
+def test_streaming_curation_gate_incremental(spark):
+    """r6: the curation gate streams (stateless map) with exactly-once
+    file processing, and verdicts equal the batch gate's."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators.curation import curation_filter
+    from pdf_parser_python_spark.operators.repetition import chunked_lines
+
+    def mk(lo, n):
+        return spark.createDataFrame(
+            [(i,
+              ("the quick brown fox is in that for with and of to "
+               * (2 + i % 3)) if i % 4 else "xx")
+             for i in range(lo, lo + n)],
+            "doc_id long, text string",
+        )
+
+    with tempfile.TemporaryDirectory() as td:
+        input_dir = os.path.join(td, "in")
+        output_dir = os.path.join(td, "out")
+        d1 = mk(0, 10)
+        d1.write.mode("append").parquet(input_dir)
+        streaming.start_curation(spark, input_dir, output_dir
+                                 ).awaitTermination(120)
+        out1 = spark.read.parquet(os.path.join(output_dir, "verdicts"))
+        assert out1.count() == 10
+
+        d2 = mk(10, 6)
+        d2.write.mode("append").parquet(input_dir)
+        streaming.start_curation(spark, input_dir, output_dir
+                                 ).awaitTermination(120)
+        out2 = spark.read.parquet(os.path.join(output_dir, "verdicts"))
+        assert out2.count() == 16
+        assert out2.select("doc_id").distinct().count() == 16
+
+        # streaming verdicts == batch verdicts, row for row
+        batch = curation_filter(
+            d1.unionByName(d2),
+            lines=chunked_lines(F.col("text"), 10),
+        )
+        got = {tuple(r) for r in out2.collect()}
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want
