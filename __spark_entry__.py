@@ -848,6 +848,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_report"] = corpus_report
 
+    # — r6: trainer-facing pack manifest (segments incl. straddles) —
+    def pack_manifest(spark, sf):
+        from pdf_parser_python_spark.operators.packing import (
+            pack_manifest as _pm,
+            pack_sequences,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return _pm(pack_sequences(d, seq_len=2048), seq_len=2048)
+
+    q["pack_manifest"] = pack_manifest
+
     # — training-data: mixture plan + deterministic mixture sampling
     #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
     #   src2; md5-ppm draw → identical docs chosen on any cluster) —
@@ -1487,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 6 (composition queries)
         "exam_reassemble", "compose_pack", "compose_e2e",
         "pack_shuffled", "corpus_report", "streaming_gate",
+        "pack_manifest",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1563,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_shuffled": _oracle.packing_sql(shuffle_seed=7),
         "corpus_report": _oracle.corpus_report_sql(),
         "streaming_gate": _oracle.curation_sql(),
+        "pack_manifest": _oracle.pack_manifest_sql(),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

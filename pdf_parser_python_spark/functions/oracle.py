@@ -1432,6 +1432,35 @@ SELECT doc_id, n_tokens, start,
 FROM c"""
 
 
+def pack_manifest_sql(seq_len: int = 2048,
+                      source: str = "documents") -> str:
+    """Twin of packing.pack_manifest over pack_sequences (pack_manifest
+    driver query): per-pack ordered doc segments with straddle
+    carry-over."""
+    L = seq_len
+    return f"""
+WITH p AS ({packing_sql(seq_len, source)}),
+e AS (
+    SELECT doc_id, start, n_tokens,
+           unnest(generate_series(cast(floor(start / {L}.0) AS BIGINT),
+                  cast(floor((start + n_tokens - 1) / {L}.0) AS BIGINT)))
+               AS pack_id
+    FROM p WHERE n_tokens > 0),
+s AS (
+    SELECT pack_id, doc_id,
+           (greatest(start, pack_id * {L}) - pack_id * {L})::BIGINT
+               AS off,
+           (least(start + n_tokens, (pack_id + 1) * {L})
+            - greatest(start, pack_id * {L}))::BIGINT AS len
+    FROM e)
+SELECT pack_id,
+       count(*)::BIGINT AS n_segments,
+       sum(len)::BIGINT AS n_tokens,
+       string_agg(doc_id || ':' || off || ':' || len, ','
+                  ORDER BY off, doc_id) AS segments
+FROM s GROUP BY pack_id"""
+
+
 def exam_reassemble_sql(q: int = 8) -> str:
     """Twin of the exam_reassemble driver query — the e2e pipeline's
     stage-1 boundary: extraction FSM flat spans reassembled into one

@@ -118,6 +118,55 @@ def pack_sequences(
     )
 
 
+def pack_manifest(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Trainer-facing manifest of :func:`pack_sequences` output: for
+    every pack, the ordered document SEGMENTS that fill it —
+    ``doc_id:offset_in_pack:length`` — including carry-over from docs
+    that straddle pack boundaries (where the trainer masks attention).
+
+    Each doc explodes into the packs its token range intersects
+    (``1 + n_tokens/seq_len`` rows — linear, a 10⁹-token giant emits
+    ~500k segment rows, never a cross join), then one shuffle groups
+    by pack. Every pack except the stream's last holds exactly
+    ``seq_len`` manifest tokens by construction — asserted in tests,
+    and the string encoding makes the result engine-hashable."""
+    L = seq_len
+    first = F.floor(F.col("start") / L)
+    last = F.floor((F.col("start") + F.col("n_tokens") - 1) / L)
+    e = packed.where(F.col("n_tokens") > 0).select(
+        "doc_id", "start", "n_tokens",
+        F.explode(F.sequence(first, last)).alias("pack_id"),
+    )
+    seg_start = F.greatest(F.col("start"), F.col("pack_id") * L)
+    seg_end = F.least(
+        F.col("start") + F.col("n_tokens"), (F.col("pack_id") + 1) * L
+    )
+    segs = e.select(
+        "pack_id",
+        "doc_id",
+        (seg_start - F.col("pack_id") * L).cast("bigint").alias("off"),
+        (seg_end - seg_start).cast("bigint").alias("len"),
+    )
+    return segs.groupBy("pack_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("len").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("off", "doc_id", "len"))
+                ),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc_id"].cast("string"),
+                    s["off"].cast("string"),
+                    s["len"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("segments"),
+    )
+
+
 def pack_stats(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
     """Per-pack rollup of :func:`pack_sequences` output: docs starting
     in the pack, their token sum, and the pack's start-fill fraction

@@ -157,3 +157,27 @@ def test_shuffled_packing_is_permutation_and_decorrelated(spark):
     # stream (plain order has all 199 adjacent pairs; hash order ~0)
     adj = sum(1 for i in range(199) if abs(sh7a[i + 1] - sh7a[i]) == 5)
     assert adj < 20, adj
+
+
+def test_pack_manifest_exact_fills(spark):
+    """r6: the manifest accounts for every token exactly once; every
+    pack but the last holds exactly seq_len manifest tokens; straddle
+    segments point at the right offsets."""
+    from pdf_parser_python_spark.operators.packing import pack_manifest
+
+    rows = [(0, " ".join("w" for _ in range(10))),
+            (1, " ".join("w" for _ in range(70))),
+            (2, " ".join("w" for _ in range(4)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    man = {r["pack_id"]: r for r in
+           pack_manifest(pack_sequences(df, seq_len=32, bucket_width=2),
+                         seq_len=32).collect()}
+    # 84 tokens over 32-token packs → packs 0,1,2
+    assert sorted(man) == [0, 1, 2]
+    assert man[0]["n_tokens"] == 32 and man[1]["n_tokens"] == 32
+    assert man[2]["n_tokens"] == 84 - 64
+    assert man[0]["segments"] == "0:0:10,1:10:22"       # doc1 straddles
+    assert man[1]["segments"] == "1:0:32"               # doc1 fills pack1
+    assert man[2]["segments"] == "1:0:16,2:16:4"        # tail + doc2
+    total = sum(r["n_tokens"] for r in man.values())
+    assert total == 84
