@@ -157,7 +157,14 @@ def test_plan_and_sampler_laws(spark, docs_spec, wspec, target):
         expected = r["n_epochs"] * a + r["residual_ppm"] * a / PPM
         assert tgt - a / PPM - 1 <= expected <= tgt
     # sampler count law: every planned doc appears n_epochs or +1 times
-    plan_df = spark.createDataFrame(plan_rows)
+    # explicit schema: hypothesis can produce a weight recipe naming
+    # only sources absent from the corpus → empty plan (inner join),
+    # and createDataFrame cannot infer a schema from zero rows
+    plan_df = spark.createDataFrame(
+        plan_rows,
+        "source string, n_docs bigint, tokens_avail bigint, "
+        "tokens_target bigint, n_epochs bigint, residual_ppm bigint",
+    )
     out = mixture_sample(df, plan_df).groupBy("doc_id", "source").count()
     prow = {r["source"]: r for r in plan_rows}
     for r in out.collect():
