@@ -860,6 +860,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_manifest"] = pack_manifest
 
+    # — r6: CCNet-style rarity score (perplexity proxy, integer-exact) —
+    def text_rarity(spark, sf):
+        from pdf_parser_python_spark.operators.textstats import (
+            corpus_token_freq,
+            rarity_scores,
+        )
+
+        d = _docs(spark, sf, "documents")
+        return rarity_scores(d, corpus_token_freq(d, top_k=200))
+
+    q["text_rarity"] = text_rarity
+
     # — training-data: mixture plan + deterministic mixture sampling
     #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
     #   src2; md5-ppm draw → identical docs chosen on any cluster) —
@@ -1499,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 6 (composition queries)
         "exam_reassemble", "compose_pack", "compose_e2e",
         "pack_shuffled", "corpus_report", "streaming_gate",
-        "pack_manifest",
+        "pack_manifest", "text_rarity",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1577,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _oracle.corpus_report_sql(),
         "streaming_gate": _oracle.curation_sql(),
         "pack_manifest": _oracle.pack_manifest_sql(),
+        "text_rarity": _oracle.rarity_sql(),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

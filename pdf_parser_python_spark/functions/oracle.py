@@ -578,6 +578,34 @@ SELECT doc_id,
 FROM m"""
 
 
+def rarity_sql(top_k: int = 200, scale: int = 1_000_000) -> str:
+    """Twin of textstats.corpus_token_freq + rarity_scores (text_rarity
+    driver query): capped unigram vocabulary (count desc, token asc),
+    per-token contribution floor(scale/freq) with OOV = freq 1, integer
+    mean per doc. All floor division — bit-stable across engines."""
+    return f"""
+WITH tk AS (
+    SELECT doc_id, coalesce({_TOKS_L}, []) AS toks
+    FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+ex AS (
+    SELECT doc_id, unnest(toks) AS token FROM tk),
+freq AS (
+    SELECT token, count(*)::BIGINT AS freq
+    FROM ex GROUP BY token
+    ORDER BY freq DESC, token LIMIT {top_k}),
+scored AS (
+    SELECT e.doc_id,
+           sum(floor({scale} / coalesce(f.freq, 1)))::BIGINT AS raw
+    FROM ex e LEFT JOIN freq f USING (token)
+    GROUP BY e.doc_id)
+SELECT tk.doc_id,
+       len(tk.toks)::BIGINT AS n_tokens,
+       (CASE WHEN len(tk.toks) > 0
+             THEN floor(s.raw / len(tk.toks)) ELSE 0 END)::BIGINT
+           AS rarity
+FROM tk LEFT JOIN scored s USING (doc_id)"""
+
+
 def corpus_report_sql() -> str:
     """Twin of the corpus_report driver query: per-source corpus
     health — doc/token counts, quality band, english fraction. All

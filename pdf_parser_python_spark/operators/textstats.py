@@ -146,3 +146,69 @@ def text_profile(
         quality_score(c).alias("quality"),
         fingerprint(c, hasher).alias("fingerprint"),
     )
+
+
+def corpus_token_freq(
+    documents: DataFrame, text_col: str = "text", top_k: int = 65536
+) -> DataFrame:
+    """Corpus unigram frequency table, capped to the ``top_k`` most
+    frequent tokens (count desc, token asc — deterministic cap).
+
+    Scale shape: one explode → hash-aggregate with map-side combine
+    (tokens of a 100-TB corpus collapse per task before the shuffle;
+    the grouped key space is the vocabulary, orders of magnitude
+    smaller than the corpus) → TakeOrderedAndProject for the cap.
+    The result is broadcast-sized by construction."""
+    toks = F.explode(
+        tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    ).alias("token")
+    freq = (
+        documents.select(toks)
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    return freq.orderBy(F.col("freq").desc(), F.col("token")).limit(top_k)
+
+
+def rarity_scores(
+    documents: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style perplexity PROXY with exact-integer cross-engine
+    parity: each token contributes ``floor(scale / corpus_freq)``
+    (out-of-vocabulary tokens count as frequency 1 — maximally rare),
+    and a document's rarity is the integer mean contribution. High =
+    rare/unusual vocabulary (gibberish, ids, OCR noise), low = stock
+    prose — the standard LM-perplexity quality signal, computed with
+    floor division only so a DuckDB oracle reproduces it bit-for-bit
+    (true log-prob scoring needs an external LM; libm log differs
+    across engines in the last ulp, so the proxy stays rational).
+
+    Scale shape: explode → broadcast join against the capped
+    vocabulary → one doc_id hash-aggregate. The corpus shuffles once
+    (by doc_id, map-side combined); the vocabulary never shuffles."""
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    e = documents.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens"),
+        F.explode_outer(toks).alias("token"),
+    )
+    j = e.join(F.broadcast(freq), "token", "left")
+    contrib = F.when(
+        F.col("token").isNull(), F.lit(0)
+    ).otherwise(
+        F.floor(scale / F.coalesce(F.col("freq"), F.lit(1)))
+    ).cast("bigint")
+    return (
+        j.groupBy("doc_id", "n_tokens")
+        .agg(F.sum(contrib).alias("_raw"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(F.col("_raw") / F.col("n_tokens")),
+            ).otherwise(F.lit(0)).cast("bigint").alias("rarity"),
+        )
+    )

@@ -139,3 +139,32 @@ def test_passthrough_columns_both_engines(spark):
             assert outs[eng][i]["text"] == text
             assert outs[eng][i]["src"] == src
     assert outs["native"] == outs["arrow"]
+
+
+def test_rarity_scores_semantics(spark):
+    """r6: CCNet-style rarity proxy — integer-exact contributions,
+    OOV = max rarity, null/empty docs score 0."""
+    from pdf_parser_python_spark.operators.textstats import (
+        corpus_token_freq,
+        rarity_scores,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "the the the rare"), (2, ""), (3, None), (4, "the unseen zebra")],
+        "doc_id long, text string",
+    )
+    freq = corpus_token_freq(d, top_k=2)  # keeps {the:4, rare:1}
+    out = {r["doc_id"]: (r["n_tokens"], r["rarity"])
+           for r in rarity_scores(d, freq).collect()}
+    assert out[1] == (4, 437500)          # (3*250000 + 1000000) / 4
+    assert out[2] == (0, 0) and out[3] == (0, 0)
+    assert out[4] == (3, 750000)          # the + 2 OOV at 1e6
+    # stock prose scores lower than gibberish on a shared vocab
+    d2 = spark.createDataFrame(
+        [(i, "the quick brown fox jumps again") for i in range(20)]
+        + [(99, "zxqv jkwp mmorx")],
+        "doc_id long, text string",
+    )
+    f2 = corpus_token_freq(d2)
+    r2 = {r["doc_id"]: r["rarity"] for r in rarity_scores(d2, f2).collect()}
+    assert r2[99] > r2[0]
