@@ -872,6 +872,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_rarity"] = text_rarity
 
+    # — §2.8 extension: checkpoint-resumable CURATION under the same
+    #   bucket-commit lineage contract as extraction; the driver row
+    #   hash-checks the resumed output against the batch gate oracle —
+    def lineage_curation(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.plans.lineage import CurationJob
+
+        out = os.path.join(
+            tempfile.gettempdir(), "lineage_curation", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        d = _docs(spark, sf, "documents").select("doc_id", "text")
+        job = CurationJob(out, n_buckets=8)
+        # simulate an interruption: commit 3 buckets, then resume
+        job.run(spark, d, max_buckets=3)
+        job.run(spark, d)
+        assert not job.pending_buckets()
+        return job.verdicts(spark)
+
+    q["lineage_curation"] = lineage_curation
+
     # — training-data: mixture plan + deterministic mixture sampling
     #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
     #   src2; md5-ppm draw → identical docs chosen on any cluster) —
@@ -1511,7 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 6 (composition queries)
         "exam_reassemble", "compose_pack", "compose_e2e",
         "pack_shuffled", "corpus_report", "streaming_gate",
-        "pack_manifest", "text_rarity",
+        "pack_manifest", "text_rarity", "lineage_curation",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1590,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_gate": _oracle.curation_sql(),
         "pack_manifest": _oracle.pack_manifest_sql(),
         "text_rarity": _oracle.rarity_sql(),
+        "lineage_curation": _oracle.curation_sql(),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

@@ -60,15 +60,17 @@ class ExtractionJob:
         with open(self.lineage_path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
+    #: schema of the empty lineage frame (per-job-kind metric columns)
+    EMPTY_LINEAGE_SCHEMA = (
+        "partition_id int, status string, docs_parsed long, "
+        "spans_emitted long, questions_emitted long, "
+        "parse_failures long, wall_sec double"
+    )
+
     def lineage(self, spark: SparkSession) -> DataFrame:
         rows = self.lineage_rows()
         if not rows:
-            return spark.createDataFrame(
-                [],
-                "partition_id int, status string, docs_parsed long, "
-                "spans_emitted long, questions_emitted long, "
-                "parse_failures long, wall_sec double",
-            )
+            return spark.createDataFrame([], self.EMPTY_LINEAGE_SCHEMA)
         return spark.createDataFrame(rows)
 
     def done_buckets(self) -> set[int]:
@@ -115,7 +117,7 @@ class ExtractionJob:
                 .groupBy("bucket")
                 .agg(
                     F.count("*").alias("d"),
-                    F.sum(F.size("spans")).alias("s"),
+                    self._input_metric_expr().alias("s"),
                 )
                 .collect()
             )
@@ -126,6 +128,11 @@ class ExtractionJob:
             with open(marker, "w") as fh:
                 fh.write("ok\n")
         return staged
+
+    def _input_metric_expr(self):
+        """Second per-bucket input metric (first is doc count) — the
+        extraction job tracks input spans; subclasses override."""
+        return F.sum(F.size("spans"))
 
     def _input_metrics(self, staged: str, bucket: int) -> tuple[int, int]:
         with open(os.path.join(staged, "_input_metrics.json")) as fh:
@@ -192,6 +199,20 @@ class ExtractionJob:
             "input_spans": int(n_spans_in),
         }
 
+    def _empty_row(self, bucket: int) -> dict:
+        return {
+            "partition_id": bucket, "status": "done", "docs_parsed": 0,
+            "spans_emitted": 0, "questions_emitted": 0,
+            "parse_failures": 0, "wall_sec": 0.0, "input_spans": 0,
+        }
+
+    def _failed_row(self, bucket: int, exc: Exception) -> dict:
+        return {
+            "partition_id": bucket, "status": "failed", "docs_parsed": 0,
+            "spans_emitted": 0, "questions_emitted": 0,
+            "parse_failures": 0, "wall_sec": 0.0, "error": str(exc)[:500],
+        }
+
     def run(
         self,
         spark: SparkSession,
@@ -212,11 +233,7 @@ class ExtractionJob:
         for b in pending:
             bdir = os.path.join(staged, f"bucket={b}")
             if not os.path.exists(bdir):  # hash range empty at this size
-                self._append_lineage({
-                    "partition_id": b, "status": "done", "docs_parsed": 0,
-                    "spans_emitted": 0, "questions_emitted": 0,
-                    "parse_failures": 0, "wall_sec": 0.0, "input_spans": 0,
-                })
+                self._append_lineage(self._empty_row(b))
                 processed.append(b)
                 continue
             docs_b = spark.read.parquet(bdir)
@@ -224,18 +241,7 @@ class ExtractionJob:
             try:
                 row = self._write_bucket(b, docs_b, n_docs, n_spans_in)
             except Exception as exc:  # never lose prior commits
-                self._append_lineage(
-                    {
-                        "partition_id": b,
-                        "status": "failed",
-                        "docs_parsed": 0,
-                        "spans_emitted": 0,
-                        "questions_emitted": 0,
-                        "parse_failures": 0,
-                        "wall_sec": 0.0,
-                        "error": str(exc)[:500],
-                    }
-                )
+                self._append_lineage(self._failed_row(b, exc))
                 continue
             self._append_lineage(row)
             processed.append(b)
@@ -260,3 +266,87 @@ class ExtractionJob:
 
     def flat_spans(self, spark: SparkSession) -> DataFrame:
         return self._read_done(spark, self.spans_dir)
+
+
+class CurationJob(ExtractionJob):
+    """Checkpoint-resumable CURATION: the composite keep/drop gate
+    (operators/curation.py) under the exact bucket-commit contract of
+    :class:`ExtractionJob` — doc_id-hash buckets, delete-before-insert,
+    lineage row appended after data, resume = run() again and only
+    pending buckets execute. Per-bucket metrics ride on the write via
+    the Observation API (docs gated, docs kept); input metrics (docs,
+    tokens) come from staging time. Extends the north-rule resumability
+    story from extraction to the training-data lane."""
+
+    EMPTY_LINEAGE_SCHEMA = (
+        "partition_id int, status string, docs_in long, docs_gated long, "
+        "docs_kept long, wall_sec double"
+    )
+
+    def __init__(
+        self,
+        out_dir: str,
+        n_buckets: int = 16,
+        line_width: int = 10,
+        **gate_kw,
+    ) -> None:
+        super().__init__(out_dir, n_buckets)
+        self.verdicts_dir = os.path.join(out_dir, "verdicts")
+        self.line_width = line_width
+        self.gate_kw = gate_kw
+
+    def _input_metric_expr(self):
+        from ..operators.textstats import token_count
+
+        return F.sum(
+            token_count(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        )
+
+    def _empty_row(self, bucket: int) -> dict:
+        return {
+            "partition_id": bucket, "status": "done", "docs_in": 0,
+            "docs_gated": 0, "docs_kept": 0, "wall_sec": 0.0,
+            "input_tokens": 0,
+        }
+
+    def _failed_row(self, bucket: int, exc: Exception) -> dict:
+        return {
+            "partition_id": bucket, "status": "failed", "docs_in": 0,
+            "docs_gated": 0, "docs_kept": 0, "wall_sec": 0.0,
+            "error": str(exc)[:500],
+        }
+
+    def _write_bucket(
+        self, bucket: int, docs: DataFrame, n_docs: int, n_tokens_in: int
+    ) -> dict:
+        from pyspark.sql import Observation
+
+        from ..operators.curation import curation_filter
+        from ..operators.repetition import chunked_lines
+
+        t0 = time.perf_counter()
+        vdir = os.path.join(self.verdicts_dir, f"bucket={bucket}")
+        shutil.rmtree(vdir, ignore_errors=True)
+        ob = Observation()
+        gate = curation_filter(
+            docs.drop("bucket"),
+            lines=chunked_lines(F.col("text"), self.line_width),
+            **self.gate_kw,
+        )
+        gate.observe(
+            ob,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("long")).alias("k"),
+        ).write.mode("overwrite").parquet(vdir)
+        return {
+            "partition_id": bucket,
+            "status": "done",
+            "docs_in": n_docs,
+            "docs_gated": int(ob.get["n"]),
+            "docs_kept": int(ob.get["k"] or 0),
+            "wall_sec": round(time.perf_counter() - t0, 3),
+            "input_tokens": int(n_tokens_in),
+        }
+
+    def verdicts(self, spark: SparkSession) -> DataFrame:
+        return self._read_done(spark, self.verdicts_dir).drop("bucket")

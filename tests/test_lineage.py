@@ -65,3 +65,39 @@ def test_rerun_is_noop(spark, docs):
         assert out["processed"] == []
         assert job.questions(spark).count() == n1
         assert len(job.lineage_rows()) == 4
+
+
+def test_curation_job_interrupt_resume_and_parity(spark):
+    """r6: CurationJob — same bucket-commit contract, gate output
+    equals the batch gate after an interrupted run resumes."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators.curation import curation_filter
+    from pdf_parser_python_spark.operators.repetition import chunked_lines
+    from pdf_parser_python_spark.plans.lineage import CurationJob
+
+    docs = spark.createDataFrame(
+        [(i,
+          ("the quick brown fox is in that for with and of to "
+           * (2 + i % 3)) if i % 4 else "zz")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        job = CurationJob(td, n_buckets=4)
+        out1 = job.run(spark, docs, max_buckets=2)
+        assert len(out1["processed"]) == 2 and len(out1["remaining"]) == 2
+        out2 = job.run(spark, docs)  # resume
+        assert not out2["remaining"]
+        got = {tuple(r) for r in job.verdicts(spark).collect()}
+        want = {tuple(r) for r in curation_filter(
+            docs, lines=chunked_lines(F.col("text"), 10)).collect()}
+        assert got == want
+        lin = {r["partition_id"]: r for r in job.lineage_rows()}
+        assert len(lin) == 4
+        assert sum(r["docs_gated"] for r in lin.values()) == 60
+        assert sum(r["docs_in"] for r in lin.values()) == 60
+        kept = sum(r["docs_kept"] for r in lin.values())
+        assert kept == sum(1 for t in got if t[-1])
+        # rerun is a no-op
+        assert job.run(spark, docs)["processed"] == []
