@@ -473,9 +473,14 @@ def _dedup_core_probe() -> dict | None:
                  else str(8 * rnd + 4)]
                 if have_taskset else []
             )
+            # asymmetric sampling (same rationale as the extraction
+            # probe): the pinned 1-core wall is stable, the 4-core
+            # level rides whichever cores co-tenants touch — give it
+            # 2x the inner runs so its min reaches the quiet floor
+            runs = "4" if cores == 4 else "2"
             r = subprocess.run(
                 pin + [sys.executable, probe, "--cores", str(cores),
-                       "--corpus", DEDUP_SLICE_DIR, "--runs", "2"],
+                       "--corpus", DEDUP_SLICE_DIR, "--runs", runs],
                 capture_output=True, text=True, check=True,
             )
             j = json.loads(r.stdout.strip().splitlines()[-1])
