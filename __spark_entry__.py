@@ -1401,23 +1401,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   value-checked as ONE plan, not per stage —
     def exam_reassemble(spark, sf):
         # stage 1 of bench's pipeline_e2e: FSM flat spans → one text
-        # per doc, deterministic (seq, order) sequence
+        # per doc, deterministic (seq, order) sequence. r7: aggregated
+        # INSIDE the vectorized kernel (vkernel.doc_text_arrow) — zero
+        # Exchange; the groupBy(collect_list) it replaces re-shuffled
+        # rows the kernel already had colocated (VERDICT r6 item 2)
         _ensure_shipped(spark)
-        flat = pipeline.extract_flat_spans(_spans_table(spark, sf)).where(
-            F.col("kind") == "text"
-        )
-        return flat.groupBy("doc_id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("seq", "order", "text"))
-                    ),
-                    lambda s: s["text"],
-                ),
-                " ",
-            ).alias("text"),
-            F.count("*").cast("bigint").alias("n_text_spans"),
-        )
+        return pipeline.extract_doc_text(_spans_table(spark, sf))
 
     def compose_pack(spark, sf):
         # curation gate → keep semi-join → sequence packing, composed
@@ -1475,24 +1464,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             passthrough=("text", "source"),
         ).where("keep").select("doc_id", "text", "source")
         clean = decontaminated(kept, _bench_set(d), n=8, hasher=md5_64)
+        # r7: `source` rides THROUGH the dedup reassembly (passthrough)
+        # — no corpus×corpus re-join on doc_id just to recover it (the
+        # last avoidable Exchange pair in the composition)
         dd = paragraph_dedup(
             clean,
             paragraphs=chunked_lines(F.col("text"), 15),
             hasher=md5_64,
             out_sep=" | ",
+            passthrough=("source",),
         )
-        corp = (
-            dd.where(F.col("n_kept") > 0)
-            .join(clean.select("doc_id", "source"), "doc_id")
-            .select(
-                "doc_id", F.col("text_deduped").alias("text"), "source"
-            )
+        corp = dd.where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("text_deduped").alias("text"), "source"
         )
         mixed = mixture_sample(
             corp, mixture_plan(corp, _MIX_WEIGHTS, _MIX_TARGET)
         )
+        # epoch re-key multiplier: guard the 1024 headroom (a tiny
+        # source upsampled past 1024 epochs would collide keys and
+        # make the packing order nondeterministic — fail loudly)
         pk = mixed.select(
-            (F.col("doc_id") * 1024 + F.col("epoch")).alias("doc_id"),
+            F.when(
+                F.col("epoch") < 1024,
+                F.col("doc_id") * 1024 + F.col("epoch"),
+            ).otherwise(
+                F.raise_error("epoch >= 1024: re-key multiplier overflow")
+            ).alias("doc_id"),
             "text",
         )
         return pack_sequences(pk, seq_len=256)

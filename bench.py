@@ -691,24 +691,12 @@ def _e2e_phase(spark, corpus_docs=None) -> dict:
         t0 = time.time()
         n_exam = 0
         if corpus_docs is not None:
-            # stage 0: extraction — spans → FSM → flat spans →
-            # per-doc reassembled text, deterministic (seq, order) sort
-            flat = pipeline.extract_flat_spans(corpus_docs).where(
-                F.col("kind") == "text"
-            )
-            exam = flat.groupBy("doc_id").agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("seq", "order", "text")
-                            )
-                        ),
-                        lambda s: s["text"],
-                    ),
-                    " ",
-                ).alias("text")
-            ).select(
+            # stage 0: extraction — spans → FSM → per-doc reassembled
+            # text, (seq, order) sequence. r7: the reassembly happens
+            # INSIDE the kernel (pipeline.extract_doc_text) — stage 0
+            # is now zero-Exchange (no groupBy(collect_list) of rows
+            # the kernel had colocated)
+            exam = pipeline.extract_doc_text(corpus_docs).select(
                 # 'syn-%08d' → reserved numeric range above the corpus
                 (F.substring("doc_id", 5, 8).cast("long")
                  + 2_000_000).alias("doc_id"),

@@ -1497,7 +1497,7 @@ def exam_reassemble_sql(q: int = 8) -> str:
     return f"""
 WITH flat AS ({extract_flat_spans_sql(q)})
 SELECT doc_id,
-       string_agg(text, ' ' ORDER BY seq, "order") AS text,
+       string_agg(text, ' ' ORDER BY seq, "order", text) AS text,
        count(*)::BIGINT AS n_text_spans
 FROM flat WHERE kind = 'text' GROUP BY doc_id"""
 

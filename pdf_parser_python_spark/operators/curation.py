@@ -159,7 +159,19 @@ def curation_filter(
     semi-join shuffles the whole corpus on doc_id, while passthrough
     keeps the composition map-only (on the arrow engine the columns
     ride through the kernel batch — extra Arrow transfer, still zero
-    Exchange; bench's compose_pack measures the trade)."""
+    Exchange; bench's compose_pack measures the trade). Passthrough
+    names must be disjoint from the operator's own output columns —
+    a collision would silently shadow a kernel output (and corrupt
+    the arrow kernel's column accumulators), so it raises."""
+    reserved = {"doc_id", "quality", "lang_guess", "n_tokens",
+                "dup_line_frac", "top_ngram_char_frac", "keep",
+                "reasons", "_text", "_lns", "_grams", "_dlf", "_tncf"}
+    bad = reserved.intersection(passthrough)
+    if bad:
+        raise ValueError(
+            f"passthrough columns collide with gate outputs: "
+            f"{sorted(bad)}"
+        )
     c = F.coalesce(F.col(text_col), F.lit(""))
     if engine == "arrow":
         m = _gate_metrics_arrow(

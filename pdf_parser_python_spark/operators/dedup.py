@@ -685,6 +685,7 @@ def paragraph_dedup(
     paragraphs: Column | None = None,
     hasher: Hasher = xx64,
     out_sep: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-WIDE paragraph dedup (the MassiveText/Dolma boilerplate
     pass): every later occurrence of a paragraph already seen anywhere
@@ -695,6 +696,11 @@ def paragraph_dedup(
     ``paragraphs`` overrides the default ``sep`` split with any
     array<string> Column (e.g. chunked pseudo-paragraphs for corpora
     without separators); ``out_sep`` defaults to ``sep``.
+    ``passthrough`` names per-document input columns (e.g. ``source``)
+    carried through the reassembly via ``first(...)`` — so downstream
+    composition never re-joins the corpus on doc_id just to recover
+    metadata the operator had in hand (that re-join cost compose_e2e a
+    full corpus×corpus Exchange pair before round 7).
 
     Scale shape — deliberately NOT a row_number window over the
     paragraph hash: the motivating input is one boilerplate paragraph
@@ -702,12 +708,24 @@ def paragraph_dedup(
     single partition. Instead the winner per hash is
     ``min(struct(doc_id, pos))`` — a hash aggregation with map-side
     partial combine, so the mega-duplicate collapses to one row per
-    map task before the shuffle — followed by an equi-join back on the
-    near-unique (hash, doc_id, pos) triple and one groupBy(doc_id)
-    reassembly. Three skew-proof exchanges total.
+    map task before the shuffle — then a LEFT equi-join marks winners
+    on the near-unique (hash, doc_id, pos) triple, and one
+    groupBy(doc_id) reassembles. The input is scanned ONCE
+    (posexplode_outer keeps zero-paragraph documents as a null row, so
+    no separate doc-spine join): three skew-proof exchanges total, and
+    expensive upstream plans (gate kernels, decontamination) are not
+    recomputed for a second scan.
 
-    Returns ``doc_id, n_paras, n_kept, text_deduped`` (documents with
-    zero paragraphs survive with empty text)."""
+    Returns ``doc_id, n_paras, n_kept, text_deduped, *passthrough``
+    (documents with zero paragraphs survive with empty text)."""
+    reserved = {"doc_id", "n_paras", "n_kept", "text_deduped",
+                "pos", "para", "ph", "_win"}
+    bad = reserved.intersection(passthrough)
+    if bad:
+        raise ValueError(
+            f"passthrough columns collide with operator outputs: "
+            f"{sorted(bad)}"
+        )
     if out_sep is None:
         out_sep = sep
     c = F.coalesce(F.col(text_col), F.lit(""))
@@ -717,32 +735,38 @@ def paragraph_dedup(
             lambda x: x != "",
         )
     paras = documents.select(
-        "doc_id", F.posexplode(paragraphs).alias("pos", "para")
-    ).withColumn("ph", hasher(F.col("para"), 0))
-    winners = paras.groupBy("ph").agg(
-        F.min(F.struct("doc_id", "pos")).alias("w")
-    ).select("ph", F.col("w.doc_id").alias("doc_id"),
-             F.col("w.pos").alias("pos"))
-    kept = paras.join(winners, ["ph", "doc_id", "pos"])
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
+        "doc_id",
+        *passthrough,
+        F.size(paragraphs).cast("bigint").alias("n_paras"),
+        F.posexplode_outer(paragraphs).alias("pos", "para"),
+    ).withColumn(
+        "ph", F.when(F.col("para").isNotNull(), hasher(F.col("para"), 0))
+    )
+    winners = (
+        paras.where(F.col("para").isNotNull())
+        .groupBy("ph")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(
+            "ph",
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.pos").alias("pos"),
+            F.lit(True).alias("_win"),
+        )
+    )
+    marked = paras.join(winners, ["ph", "doc_id", "pos"], "left")
+    return marked.groupBy("doc_id").agg(
+        F.first("n_paras").alias("n_paras"),
+        F.count("_win").cast("bigint").alias("n_kept"),
         F.concat_ws(
             out_sep,
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_win"), F.struct("pos", "para"))
+                    )
+                ),
                 lambda s: s["para"],
             ),
         ).alias("text_deduped"),
-    )
-    base = documents.select(
-        "doc_id", F.size(paragraphs).cast("bigint").alias("n_paras")
-    )
-    return (
-        base.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_paras",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
-        )
+        *[F.first(p).alias(p) for p in passthrough],
     )

@@ -521,7 +521,12 @@ def _doc_seq(sg):
 # ── flat emitter (§1.4 contract) ─────────────────────────────────────────
 
 
-def _emit_flat(state) -> pa.RecordBatch:
+def _flat_components(state):
+    """Shared back half of the flat emitters: the fully-ordered span
+    arrays (text/option/image rows lexsorted to the §1.4 contract
+    order) plus the permutation bookkeeping. Consumed by
+    :func:`_emit_flat` (row-per-span) and :func:`_emit_doc_text`
+    (row-per-document reassembly)."""
     sg = state["sg"]
     vec = state["vec"]
     g_qid, g_sec, g_oi = state["g_qid"], state["g_sec"], state["g_oi"]
@@ -606,6 +611,12 @@ def _emit_flat(state) -> pa.RecordBatch:
     perm = np.lexsort((a_tie, a_kind, a_oi, a_sec, a_qid))
     s_qid = a_qid[perm]
     order = np.arange(len(perm)) - _start_index(_run_starts(s_qid))
+    return sg, a_sec, a_kind, a_text, a_media, perm, s_qid, order
+
+
+def _emit_flat(state) -> pa.RecordBatch:
+    (sg, a_sec, a_kind, a_text, a_media, perm, s_qid,
+     order) = _flat_components(state)
     seq_of_q = _doc_seq(sg)
     permarr = pa.array(perm)
 
@@ -621,6 +632,53 @@ def _emit_flat(state) -> pa.RecordBatch:
             pa.array(order.astype(np.int32)),
         ],
         schema=FLAT_ARROW_SCHEMA,
+    )
+
+
+DOC_TEXT_ARROW_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("text", pa.string()),
+        ("n_text_spans", pa.int64()),
+    ]
+)
+
+
+def _emit_doc_text(state) -> pa.RecordBatch:
+    """Packed documents → ONE row per document: its text-kind flat
+    spans joined with " " in the canonical (seq, order) sequence —
+    the exam-reassembly projection, aggregated INSIDE the kernel.
+
+    The kernel already has every document's spans colocated and
+    sorted (the lexsort in :func:`_flat_components`), so emitting the
+    per-doc reassembly here makes the e2e pipeline's stage 1 a pure
+    map — where reassembling downstream pays a groupBy(collect_list)
+    shuffle of rows the kernel just had in hand (VERDICT r6 item 2).
+    Row-equal to ``flat_spans.where(kind='text').groupBy(doc_id)``
+    with array_sort(struct(seq, order, text)): (seq, order) is unique
+    within a document, so the kernel's (doc, seq, order) sequence IS
+    that sort order. Documents with zero text spans emit no row
+    (groupBy-after-filter semantics)."""
+    (sg, _a_sec, a_kind, a_text, _a_media, perm, s_qid,
+     _order) = _flat_components(state)
+    tmask = a_kind[perm] == 0
+    sel = perm[tmask]
+    texts = _combine(pc.take(a_text, pa.array(sel)))
+    docs_per_row = sg["doc_of_q"][s_qid[tmask]]
+    starts = np.flatnonzero(_run_starts(docs_per_row))
+    offsets = np.append(starts, len(docs_per_row)).astype(np.int32)
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), texts),
+        pa.scalar(" "),
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(state["doc_ids"],
+                    pa.array(docs_per_row[starts].astype(np.int64))),
+            _combine(joined),
+            pa.array(np.diff(offsets).astype(np.int64)),
+        ],
+        schema=DOC_TEXT_ARROW_SCHEMA,
     )
 
 
@@ -1155,6 +1213,32 @@ def _fallback_flat(doc_ids, fb_docs) -> pa.RecordBatch | None:
     )
 
 
+def _fallback_doc_text(doc_ids, fb_docs) -> pa.RecordBatch | None:
+    from . import dkernel
+
+    rows: list[tuple] = []
+    ids_py = doc_ids.to_pylist()
+    for d, k, t, r, p in fb_docs:
+        flat = dkernel._flatten_rows(dkernel._parse_doc(ids_py[d], k, t, r, p))
+        # FLAT schema tuple: (doc_id, seq, qnum, section, kind, text,
+        # media_ref, order) — text-kind spans in (seq, order) sequence
+        spans = sorted(
+            ((f[1], f[7], f[5]) for f in flat if f[4] == "text")
+        )
+        if spans:
+            rows.append(
+                (ids_py[d], " ".join(s[2] for s in spans), len(spans))
+            )
+    if not rows:
+        return None
+    cols = list(zip(*rows))
+    return pa.RecordBatch.from_arrays(
+        [pa.array(list(cols[i]), DOC_TEXT_ARROW_SCHEMA.field(i).type)
+         for i in range(len(cols))],
+        schema=DOC_TEXT_ARROW_SCHEMA,
+    )
+
+
 def _fallback_scalars(doc_ids, fb_docs) -> pa.RecordBatch | None:
     from . import dkernel
 
@@ -1223,6 +1307,17 @@ def parse_docs_flat_arrow(
     (schema.FLAT_SPAN_SEQ), strings Arrow-resident end to end."""
     yield from _entry(batches, _emit_flat, _fallback_flat,
                       FLAT_ARROW_SCHEMA)
+
+
+def doc_text_arrow(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow entrypoint: packed documents → one reassembled text
+    per document (doc_id, text, n_text_spans) — zero-Exchange exam
+    reassembly (the groupBy(collect_list) it replaces re-shuffled rows
+    the kernel already had colocated)."""
+    yield from _entry(batches, _emit_doc_text, _fallback_doc_text,
+                      DOC_TEXT_ARROW_SCHEMA)
 
 
 def question_scalars_arrow(

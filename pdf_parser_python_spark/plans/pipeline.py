@@ -439,6 +439,56 @@ def extract_flat_spans(documents: DataFrame, **kw) -> DataFrame:
     return _flatten.flat_spans(extract_questions(documents, **kw))
 
 
+def extract_doc_text(
+    documents: DataFrame, giant_doc_spans="auto"
+) -> DataFrame:
+    """documents → ONE reassembled text per document (doc_id, text,
+    n_text_spans): the text-kind flat spans joined with " " in the
+    canonical (seq, order) sequence — exam reassembly, the e2e
+    pipeline's stage-1 boundary.
+
+    Zero Exchange: the vectorized kernel already has each document's
+    spans colocated and sorted, so the per-doc aggregation happens
+    INSIDE the mapInArrow pass (operators/vkernel.doc_text_arrow).
+    Row-equal to ``extract_flat_spans(...).where(kind='text')
+    .groupBy(doc_id).agg(sort-by-(seq, order) string join)`` — which
+    is exactly what the rare giant-doc branch still computes (one
+    extra shuffle over a handful of outlier docs)."""
+    from ..operators import vkernel
+
+    threshold = _resolve_threshold(
+        documents, {"giant_doc_spans": giant_doc_spans}
+    )
+    small, big = (
+        (documents, None)
+        if threshold is None
+        else _giant_split(documents, threshold)
+    )
+    proj = dkernel.packed_projection(small)
+    out = proj.mapInArrow(vkernel.doc_text_arrow, schema=schema.DOC_TEXT)
+    if big is not None:
+        flat = _flatten.flat_spans(_parse_giant_final(big)).where(
+            F.col("kind") == "text"
+        )
+        out = out.unionByName(
+            flat.groupBy("doc_id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("seq", "order", "text")
+                            )
+                        ),
+                        lambda s: s["text"],
+                    ),
+                    " ",
+                ).alias("text"),
+                F.count("*").cast("bigint").alias("n_text_spans"),
+            )
+        )
+    return out
+
+
 def extract_question_scalars(
     documents: DataFrame, giant_doc_spans="auto"
 ) -> DataFrame:

@@ -159,6 +159,19 @@ FLAT_SPAN_SEQ = T.StructType(
     ]
 )
 
+#: Per-document reassembled text (exam_reassemble / the e2e pipeline's
+#: stage-1 boundary) — output of the vectorized kernel's
+#: doc_text_arrow (operators/vkernel.py): text-kind flat spans joined
+#: in (seq, order) sequence, aggregated inside the kernel (zero
+#: Exchange).
+DOC_TEXT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("n_text_spans", T.LongType(), False),
+    ]
+)
+
 #: Scalar projection of QUESTION_FINAL (the flagship-query columns) —
 #: output of the vectorized kernel's question_scalars_arrow
 #: (operators/vkernel.py), which skips nested options/images/anomalies.

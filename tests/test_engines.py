@@ -218,3 +218,61 @@ def test_packed_handles_unsorted_spans(spark):
     b = sorted((r.seq, r.order, r.section, r.kind, r.text, r.media_ref)
                for r in rows if r.doc_id == "ord")
     assert a == b and len(a) > 10
+
+
+def test_doc_text_equals_groupby_reassembly(spark):
+    """r7: the in-kernel exam reassembly (pipeline.extract_doc_text)
+    must be row-equal to the groupBy(collect_list) formulation it
+    replaces — including docs routed to the python fallback (risky
+    non-ASCII) and docs whose flat output has zero text spans."""
+    from pyspark.sql import functions as F
+
+    corpus = [
+        (f"dtx-{i:03d}", generate_doc_spans(7000 + i, mean_questions=7))
+        for i in range(12)
+    ]
+    # a dialect-divergent doc (Arabic-Indic digits) → python fallback
+    corpus.append(
+        (
+            "dtx-fb",
+            [
+                ("text", "Question 1. ما هو ٣ زائد ٤؟", "", 0, 1),
+                ("text", "A. سبعة", "", 1, 1),
+                ("text", "B. ثمانية", "", 2, 1),
+                ("text", "Answer: A", "", 3, 1),
+            ],
+        )
+    )
+    docs = spark.createDataFrame(corpus, schema=schema.DOCUMENT_SPANS_EXT)
+    kernel = sorted(
+        tuple(r) for r in pipeline.extract_doc_text(docs).collect()
+    )
+    flat = pipeline.extract_flat_spans(docs).where(F.col("kind") == "text")
+    grouped = sorted(
+        tuple(r)
+        for r in flat.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq", "order", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count("*").cast("bigint").alias("n_text_spans"),
+        )
+        .collect()
+    )
+    assert kernel == grouped
+    assert any(r[0] == "dtx-fb" for r in kernel)
+    assert len(kernel) == len(corpus)
+
+    # forced-giant dispatch: the union branch must agree too
+    giant = sorted(
+        tuple(r)
+        for r in pipeline.extract_doc_text(docs, giant_doc_spans=10)
+        .collect()
+    )
+    assert giant == grouped

@@ -83,3 +83,75 @@ def test_parquet_scan_pruned(spark, tmp_path):
     p = _plan(pipeline.extract_questions(read))
     m = re.search(r"ReadSchema: (\S+)", p)
     assert m and "doc_id" in m.group(1) and "spans" in m.group(1)
+
+
+def test_paragraph_dedup_passthrough_no_rejoin(spark):
+    """r7 (VERDICT r6 item 1): metadata rides THROUGH the dedup
+    reassembly — exactly one join in the plan (the winners mark),
+    where the recover-by-re-join formulation pays a second
+    corpus-on-doc_id join."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_python_spark.operators.dedup import paragraph_dedup
+
+    d = spark.createDataFrame(
+        [(1, "a b c", "s0"), (2, "a b d", "s1"), (3, "", "s0")],
+        "doc_id long, text string, source string",
+    )
+
+    def joins(df):
+        p = _plan(df)
+        return sum(
+            p.count(t)
+            for t in ("SortMergeJoin", "ShuffledHashJoin",
+                      "BroadcastHashJoin")
+        )
+
+    pass_through = paragraph_dedup(d, sep=" ", passthrough=("source",))
+    rejoined = paragraph_dedup(d, sep=" ").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    assert joins(pass_through) == 1
+    assert joins(rejoined) == 2
+    rows = {r["doc_id"]: r for r in pass_through.collect()}
+    # winner doc keeps all paras; loser keeps only its novel one;
+    # empty doc survives with empty text; source carried everywhere
+    assert rows[1]["text_deduped"] == "a b c" and rows[1]["n_kept"] == 3
+    assert rows[2]["text_deduped"] == "d" and rows[2]["n_paras"] == 3
+    assert rows[3]["n_kept"] == 0 and rows[3]["text_deduped"] == ""
+    assert [rows[i]["source"] for i in (1, 2, 3)] == ["s0", "s1", "s0"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        paragraph_dedup(d, passthrough=("text_deduped",))
+
+
+def test_compose_e2e_no_corpus_self_join(spark):
+    """The composed curate-to-pack plan must carry `source` through
+    the dedup aggregate, never recover it with a corpus self-join:
+    no plain `Join Inner (doc_id = doc_id)` may appear anywhere in
+    the analyzed plan (remaining doc_id joins are the decontamination
+    LeftAnti — required semantics)."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["compose_e2e"](spark, "/root/testdata/sf0.001")
+    ana = df._jdf.queryExecution().analyzed().toString()
+    self_joins = re.findall(
+        r"Join Inner, \(doc_id#\d+L? = doc_id#\d+L?\)", ana
+    )
+    assert not self_joins, self_joins
+
+
+def test_doc_text_zero_exchange(spark):
+    """r7 (VERDICT r6 item 2): exam reassembly aggregates inside the
+    kernel — pruned scan → one MapInArrow, NO Exchange (the old
+    groupBy(collect_list) re-shuffled rows the kernel had colocated).
+    Forced-giant dispatch keeps the union branch's shuffle confined
+    to the outlier docs."""
+    p = _plan(pipeline.extract_doc_text(_docs(spark)))
+    assert p.count("Exchange") == 0
+    assert p.count("MapInArrow") == 1 and "Union" not in p
+
+    p_giant = _plan(pipeline.extract_doc_text(_docs(spark),
+                                              giant_doc_spans=10))
+    assert "Union" in p_giant and p_giant.count("MapInArrow") >= 1
