@@ -895,6 +895,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lineage_curation"] = lineage_curation
 
+    def lineage_dedup(spark, sf):
+        # r7: checkpoint-resumable near-dup lane — minhash signatures
+        # commit per doc_id-hash bucket, the LSH candidate pass commits
+        # per band; interrupt BOTH phases, resume, and the committed
+        # pairs must equal the non-resumable dedup_minhash query
+        # (same corpus, same oracle)
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.functions.hashing import md5_64
+        from pdf_parser_python_spark.plans.lineage import DedupJob
+
+        out = os.path.join(
+            tempfile.gettempdir(), "lineage_dedup", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        d = _docs(spark, sf, "documents")
+        mut = d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" trailing edit token")
+            ).alias("text"),
+        )
+        both = d.select("doc_id", "text").unionByName(mut)
+        job = DedupJob(out, n_buckets=8, k=32, bands=16, threshold=0.5,
+                       hasher=md5_64)
+        # simulate interruptions in both phases, then resume
+        job.run(spark, both, max_buckets=3)
+        job.run(spark, both, max_bands=5)
+        job.run(spark, both)
+        assert not job.pending_buckets() and not job.pending_bands()
+        return job.pairs(spark)
+
+    q["lineage_dedup"] = lineage_dedup
+
     # — training-data: mixture plan + deterministic mixture sampling
     #   (fixed recipe: upsample src0 2 epochs, src1 ~1, downsample
     #   src2; md5-ppm draw → identical docs chosen on any cluster) —
@@ -1611,6 +1646,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_manifest": _oracle.pack_manifest_sql(),
         "text_rarity": _oracle.rarity_sql(),
         "lineage_curation": _oracle.curation_sql(),
+        # resumable near-dup lane: same corpus + hashing as
+        # dedup_minhash, so the SAME oracle value-checks the committed
+        # two-phase (bucket, then band) output
+        "lineage_dedup": _oracle.dedup_minhash_sql(),
         "mix_plan": _oracle.mixture_plan_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "mix_sample": _oracle.mixture_sample_sql(_MIX_WEIGHTS, _MIX_TARGET),
         "a1_duplicates": """

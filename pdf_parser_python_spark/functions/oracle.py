@@ -1435,26 +1435,36 @@ LIMIT {k}"""
 
 
 def packing_sql(seq_len: int = 2048, source: str = "documents",
-                shuffle_seed: int | None = None) -> str:
+                shuffle_seed: int | None = None,
+                epoch: bool = False) -> str:
     """Twin of packing.pack_sequences (pack_assign driver query): the
     two-phase bucketed prefix sum equals one global ordered cumsum.
     ``source`` may name a CTE so compositions (compose_pack) can pack
     a filtered corpus; ``shuffle_seed`` mirrors the operator's seeded
-    pseudo-random order (60-bit md5 of the doc id, doc_id tiebreak)."""
+    pseudo-random order (60-bit md5 of the full order identity —
+    ``doc_id``, or ``doc_id:epoch`` when ``epoch=True`` so upsampled
+    copies land at independent stream positions; (doc_id, epoch)
+    tiebreak)."""
+    ecol = ", epoch" if epoch else ""
+    key = (
+        "doc_id::VARCHAR || ':' || epoch::VARCHAR"
+        if epoch else "doc_id::VARCHAR"
+    )
     order = (
-        "doc_id" if shuffle_seed is None
-        else md5_64_sql("doc_id::VARCHAR", shuffle_seed) + ", doc_id"
+        f"doc_id{ecol}" if shuffle_seed is None
+        else md5_64_sql(key, shuffle_seed) + f", doc_id{ecol}"
     )
     return f"""
 WITH t AS (
-    SELECT doc_id, len({_TOKS_RAW})::BIGINT AS n_tokens FROM {source}),
+    SELECT doc_id{ecol}, len({_TOKS_RAW})::BIGINT AS n_tokens
+    FROM {source}),
 c AS (
-    SELECT doc_id, n_tokens,
+    SELECT doc_id{ecol}, n_tokens,
            (sum(n_tokens) OVER (ORDER BY {order}
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              - n_tokens)::BIGINT AS start
     FROM t)
-SELECT doc_id, n_tokens, start,
+SELECT doc_id{ecol}, n_tokens, start,
        cast(floor(start / {seq_len}.0) AS BIGINT) AS pack_id,
        (start % {seq_len})::BIGINT AS pack_offset
 FROM c"""

@@ -60,10 +60,12 @@ def pack_sequences(
 
     ``shuffle_seed`` switches the global order from ``doc_id``
     ascending to a seeded pseudo-random permutation — the order key
-    becomes the 60-bit md5 hash of the doc id (doc_id tiebreak), so
-    adjacent documents in the token stream are decorrelated from crawl
-    /source order, the standard requirement for GPT-style training
-    packs. Same two-phase prefix sum, with hash-uniform u-space
+    becomes the 60-bit md5 hash of the full order identity (``doc_id``
+    alone, or ``doc_id:epoch`` when an epoch column is present, so
+    upsampled copies land at independent stream positions; ``(doc_id,
+    epoch)`` tiebreak), so adjacent documents in the token stream are
+    decorrelated from crawl/source order, the standard requirement for
+    GPT-style training packs. Same two-phase prefix sum, with hash-uniform u-space
     buckets replacing id-range buckets; still deterministic at any
     partitioning and cluster size, and reproducible per seed."""
     from ..functions.hashing import md5_64
@@ -80,7 +82,19 @@ def pack_sequences(
         bucket = F.floor(F.col("doc_id") / bucket_width)
         extra: list = []
     else:
-        u = md5_64(F.col("doc_id").cast("string"), shuffle_seed)
+        # hash the FULL order identity: when the input carries an
+        # epoch column (mixture_sample's upsampled copies), each copy
+        # must land at an independent stream position — hashing
+        # doc_id alone would give all epochs of a doc one _u and pack
+        # the duplicates back-to-back, defeating the decorrelation
+        # the seed exists for
+        key = (
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        F.col("epoch").cast("string"))
+            if "epoch" in documents.columns
+            else F.col("doc_id").cast("string")
+        )
+        u = md5_64(key, shuffle_seed)
         sort_cols = ["_u"] + order_cols
         bucket = F.shiftright(F.col("_u"), _SHUFFLE_BUCKET_SHIFT)
         extra = [u.alias("_u")]

@@ -60,11 +60,16 @@ class ExtractionJob:
         with open(self.lineage_path) as fh:
             return [json.loads(line) for line in fh if line.strip()]
 
-    #: schema of the empty lineage frame (per-job-kind metric columns)
+    #: schema of the empty lineage frame (per-job-kind metric columns).
+    #: done/empty/failed rows all emit this EXACT key set (error = ""
+    #: when absent) so lineage()'s createDataFrame never has to merge
+    #: heterogeneous dicts — schema inference over mixed key sets is
+    #: where a single failed bucket used to break the lineage frame.
     EMPTY_LINEAGE_SCHEMA = (
         "partition_id int, status string, docs_parsed long, "
         "spans_emitted long, questions_emitted long, "
-        "parse_failures long, wall_sec double"
+        "parse_failures long, wall_sec double, input_spans long, "
+        "error string"
     )
 
     def lineage(self, spark: SparkSession) -> DataFrame:
@@ -197,6 +202,7 @@ class ExtractionJob:
             "parse_failures": int(n_fail),
             "wall_sec": round(time.perf_counter() - t0, 3),
             "input_spans": int(n_spans_in),
+            "error": "",
         }
 
     def _empty_row(self, bucket: int) -> dict:
@@ -204,13 +210,15 @@ class ExtractionJob:
             "partition_id": bucket, "status": "done", "docs_parsed": 0,
             "spans_emitted": 0, "questions_emitted": 0,
             "parse_failures": 0, "wall_sec": 0.0, "input_spans": 0,
+            "error": "",
         }
 
     def _failed_row(self, bucket: int, exc: Exception) -> dict:
         return {
             "partition_id": bucket, "status": "failed", "docs_parsed": 0,
             "spans_emitted": 0, "questions_emitted": 0,
-            "parse_failures": 0, "wall_sec": 0.0, "error": str(exc)[:500],
+            "parse_failures": 0, "wall_sec": 0.0, "input_spans": 0,
+            "error": str(exc)[:500],
         }
 
     def run(
@@ -280,7 +288,7 @@ class CurationJob(ExtractionJob):
 
     EMPTY_LINEAGE_SCHEMA = (
         "partition_id int, status string, docs_in long, docs_gated long, "
-        "docs_kept long, wall_sec double"
+        "docs_kept long, wall_sec double, input_tokens long, error string"
     )
 
     def __init__(
@@ -306,14 +314,14 @@ class CurationJob(ExtractionJob):
         return {
             "partition_id": bucket, "status": "done", "docs_in": 0,
             "docs_gated": 0, "docs_kept": 0, "wall_sec": 0.0,
-            "input_tokens": 0,
+            "input_tokens": 0, "error": "",
         }
 
     def _failed_row(self, bucket: int, exc: Exception) -> dict:
         return {
             "partition_id": bucket, "status": "failed", "docs_in": 0,
             "docs_gated": 0, "docs_kept": 0, "wall_sec": 0.0,
-            "error": str(exc)[:500],
+            "input_tokens": 0, "error": str(exc)[:500],
         }
 
     def _write_bucket(
@@ -346,7 +354,280 @@ class CurationJob(ExtractionJob):
             "docs_kept": int(ob.get["k"] or 0),
             "wall_sec": round(time.perf_counter() - t0, 3),
             "input_tokens": int(n_tokens_in),
+            "error": "",
         }
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
         return self._read_done(spark, self.verdicts_dir).drop("bucket")
+
+
+class DedupJob(ExtractionJob):
+    """Checkpoint-resumable NEAR-DUP detection: the minhash/LSH pass
+    (operators/dedup.py) under the bucket-commit contract.
+
+    A 100-TB pipeline checkpoints its near-dup pass, not just the
+    gate: the signature computation is the expensive, embarrassingly-
+    parallel part, so phase 1 commits ``minhash_signatures`` per
+    doc_id-hash bucket (delete-before-insert, lineage row after data —
+    a crash never recomputes a committed bucket). Phase 2 runs once
+    every signature bucket is committed: ONE BAND per commit of the
+    banded-LSH candidate pass (``minhash_lsh_pairs``'s slim bucket
+    self-join with the same ``max_bucket`` skew cap), reading the
+    committed signature store — partition-pruned, never re-hashing
+    text. Resume = ``run()`` again: pending buckets execute first,
+    then pending bands. ``pairs()`` is the union of committed bands
+    with cross-band pair dedup — row-equal to a non-resumable
+    ``minhash_lsh_pairs`` over the same corpus (asserted in tests and
+    the ``lineage_dedup`` driver query).
+
+    Reference lineage semantics: background_worker.py:179-232 (commit
+    unit + resume), database.py:289-322 (delete-before-insert);
+    extended to the training-data lane."""
+
+    EMPTY_LINEAGE_SCHEMA = (
+        "partition_id int, phase string, status string, docs_in long, "
+        "rows_emitted long, wall_sec double, input_tokens long, "
+        "error string"
+    )
+
+    def __init__(
+        self,
+        out_dir: str,
+        n_buckets: int = 16,
+        k: int = 32,
+        bands: int = 8,
+        shingle_k: int = 3,
+        threshold: float = 0.5,
+        max_bucket: int | None = 4096,
+        hasher=None,
+    ) -> None:
+        super().__init__(out_dir, n_buckets)
+        from ..functions.hashing import xx64
+
+        self.k = k
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.hasher = hasher if hasher is not None else xx64
+        self.sigs_dir = os.path.join(out_dir, "signatures")
+        self.pairs_dir = os.path.join(out_dir, "pairs")
+
+    # ── lineage bookkeeping (two phases in one journal) ──────────────
+
+    def done_buckets(self) -> set[int]:
+        return {
+            r["partition_id"]
+            for r in self.lineage_rows()
+            if r["status"] == "done" and r.get("phase") == "sig"
+        }
+
+    def done_bands(self) -> set[int]:
+        return {
+            r["partition_id"]
+            for r in self.lineage_rows()
+            if r["status"] == "done" and r.get("phase") == "band"
+        }
+
+    def pending_bands(self) -> list[int]:
+        done = self.done_bands()
+        return [b for b in range(self.bands) if b not in done]
+
+    def _row(self, pid: int, phase: str, status: str, docs_in: int = 0,
+             rows_emitted: int = 0, wall: float = 0.0,
+             input_tokens: int = 0, error: str = "") -> dict:
+        return {
+            "partition_id": pid, "phase": phase, "status": status,
+            "docs_in": docs_in, "rows_emitted": rows_emitted,
+            "wall_sec": round(wall, 3), "input_tokens": input_tokens,
+            "error": error,
+        }
+
+    def _input_metric_expr(self):
+        from ..operators.textstats import token_count
+
+        return F.sum(
+            token_count(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        )
+
+    # ── phase 1: per-bucket signatures ───────────────────────────────
+
+    def _write_sig_bucket(
+        self, bucket: int, docs: DataFrame, n_docs: int, n_tokens_in: int
+    ) -> dict:
+        from pyspark.sql import Observation
+
+        from ..operators.dedup import minhash_signatures
+
+        t0 = time.perf_counter()
+        sdir = os.path.join(self.sigs_dir, f"bucket={bucket}")
+        shutil.rmtree(sdir, ignore_errors=True)
+        ob = Observation()
+        sigs = minhash_signatures(
+            docs.drop("bucket"), k=self.k, shingle_k=self.shingle_k,
+            hasher=self.hasher,
+        )
+        sigs.observe(ob, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(sdir)
+        return self._row(
+            bucket, "sig", "done", docs_in=n_docs,
+            rows_emitted=int(ob.get["n"]),
+            wall=time.perf_counter() - t0, input_tokens=n_tokens_in,
+        )
+
+    # ── phase 2: per-band LSH candidate pass ─────────────────────────
+
+    def _sigs(self, spark: SparkSession) -> DataFrame:
+        return self._read_done(spark, self.sigs_dir).select(
+            "doc_id", "signature"
+        )
+
+    def _write_band(self, spark: SparkSession, band: int) -> dict:
+        """One band of minhash_lsh_pairs (operators/dedup.py) over the
+        committed signature store: slim (doc_id, bucket) self-join,
+        max_bucket skew cap, signature-similarity verify — identical
+        hashing via the shared combiner."""
+        from pyspark.sql import Observation
+        from pyspark.sql.window import Window
+
+        from ..functions.hashing import combiner_for
+
+        t0 = time.perf_counter()
+        pdir = os.path.join(self.pairs_dir, f"band={band}")
+        shutil.rmtree(pdir, ignore_errors=True)
+        sigs = self._sigs(spark)
+        combine = combiner_for(self.hasher)
+        rpb = self.k // self.bands
+        bucket = combine(
+            [F.col("signature")[band * rpb + r] for r in range(rpb)], 0
+        )
+        slim = sigs.select("doc_id", bucket.alias("bucket"))
+        if self.max_bucket is not None:
+            bn = F.count("*").over(Window.partitionBy("bucket"))
+            slim = slim.withColumn("_bn", bn).where(
+                F.col("_bn") <= self.max_bucket
+            ).drop("_bn")
+        a, b = slim.alias("a"), slim.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                         F.col("signature").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                         F.col("signature").alias("sig_b"))
+        sim = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(self.k)
+        )
+        ob = Observation()
+        out = (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("sig_similarity", F.round(sim, 4))
+            .where(F.col("sig_similarity") >= self.threshold)
+            .select("doc_a", "doc_b", "sig_similarity")
+        )
+        out.observe(ob, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        return self._row(
+            band, "band", "done", rows_emitted=int(ob.get["n"] or 0),
+            wall=time.perf_counter() - t0,
+        )
+
+    # ── driver loop ──────────────────────────────────────────────────
+
+    def run(
+        self,
+        spark: SparkSession,
+        documents: DataFrame,
+        max_buckets: int | None = None,
+        max_bands: int | None = None,
+    ) -> dict:
+        """Process pending signature buckets, then (once ALL buckets
+        are committed) pending LSH bands. ``max_buckets``/``max_bands``
+        bound one invocation — the simulated-interruption test hook."""
+        pending = self.pending_buckets()
+        if max_buckets is not None:
+            pending = pending[:max_buckets]
+        staged = self._stage_input(documents)
+        processed = []
+        for bk in pending:
+            bdir = os.path.join(staged, f"bucket={bk}")
+            if not os.path.exists(bdir):
+                self._append_lineage(self._row(bk, "sig", "done"))
+                processed.append(bk)
+                continue
+            docs_b = spark.read.parquet(bdir)
+            n_docs, n_tok = self._input_metrics(staged, bk)
+            try:
+                row = self._write_sig_bucket(bk, docs_b, n_docs, n_tok)
+            except Exception as exc:  # never lose prior commits
+                self._append_lineage(
+                    self._row(bk, "sig", "failed",
+                              error=str(exc)[:500])
+                )
+                continue
+            self._append_lineage(row)
+            processed.append(bk)
+        bands_done = []
+        if not self.pending_buckets():
+            pb = self.pending_bands()
+            if max_bands is not None:
+                pb = pb[:max_bands]
+            for band in pb:
+                try:
+                    row = self._write_band(spark, band)
+                except Exception as exc:
+                    self._append_lineage(
+                        self._row(band, "band", "failed",
+                                  error=str(exc)[:500])
+                    )
+                    continue
+                self._append_lineage(row)
+                bands_done.append(band)
+        return {
+            "processed": processed,
+            "bands_processed": bands_done,
+            "remaining": self.pending_buckets(),
+            "bands_remaining": self.pending_bands(),
+            "total_buckets": self.n_buckets,
+            "total_bands": self.bands,
+        }
+
+    # ── results ──────────────────────────────────────────────────────
+
+    def signatures(self, spark: SparkSession) -> DataFrame:
+        return self._sigs(spark)
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """Union of committed bands, cross-band pair dedup — row-equal
+        to minhash_lsh_pairs over the same corpus once all bands are
+        committed (a pair found in several bands has ONE similarity)."""
+        paths = [
+            p
+            for b in sorted(self.done_bands())
+            if os.path.exists(p := os.path.join(self.pairs_dir,
+                                                f"band={b}"))
+        ]
+        return (
+            spark.read.option("basePath", self.pairs_dir)
+            .parquet(*paths)
+            .select("doc_a", "doc_b", "sig_similarity")
+            .dropDuplicates(["doc_a", "doc_b"])
+        )

@@ -101,3 +101,56 @@ def test_curation_job_interrupt_resume_and_parity(spark):
         assert kept == sum(1 for t in got if t[-1])
         # rerun is a no-op
         assert job.run(spark, docs)["processed"] == []
+
+
+def test_dedup_job_two_phase_resume_and_parity(spark):
+    """r7: DedupJob — signatures commit per bucket, the LSH candidate
+    pass commits per band, interrupt either phase and resume; the
+    committed pairs equal a non-resumable minhash_lsh_pairs run."""
+    from pdf_parser_python_spark.operators.dedup import minhash_lsh_pairs
+    from pdf_parser_python_spark.plans.lineage import DedupJob
+
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta {i} eta theta iota "
+            f"kappa lam mu nu xi omicron pi rho")
+        for i in range(40)
+    ]
+    # guaranteed near-dups: a mutated copy of every doc
+    mut = [(i + 1000, t + " trailing edit") for i, t in base]
+    docs = spark.createDataFrame(base + mut, "doc_id long, text string")
+    kw = dict(k=32, bands=8, shingle_k=3, threshold=0.5)
+    with tempfile.TemporaryDirectory() as td:
+        job = DedupJob(td, n_buckets=4, **kw)
+
+        # crash mid-phase-1: 2 of 4 signature buckets committed, no
+        # band may run before every signature bucket is in
+        out1 = job.run(spark, docs, max_buckets=2)
+        assert len(out1["processed"]) == 2
+        assert out1["bands_processed"] == []
+        assert len(out1["bands_remaining"]) == 8
+
+        # resume phase 1, crash mid-phase-2 after 3 bands
+        out2 = job.run(spark, docs, max_bands=3)
+        assert not out2["remaining"]
+        assert len(out2["bands_processed"]) == 3
+        assert len(out2["bands_remaining"]) == 5
+
+        # resume phase 2 to completion
+        out3 = job.run(spark, docs)
+        assert not out3["bands_remaining"]
+
+        got = {tuple(r) for r in job.pairs(spark).collect()}
+        want = {tuple(r)
+                for r in minhash_lsh_pairs(docs, **kw).collect()}
+        assert got == want and len(got) >= 40
+
+        # signatures survive the roundtrip; rerun is a no-op
+        assert job.signatures(spark).count() == 80
+        out4 = job.run(spark, docs)
+        assert out4["processed"] == [] and out4["bands_processed"] == []
+
+        # lineage frame is homogeneous across both phases
+        lin = job.lineage(spark)
+        assert lin.count() == 4 + 8
+        assert set(lin.columns) >= {"partition_id", "phase", "status",
+                                    "rows_emitted", "error"}

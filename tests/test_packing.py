@@ -181,3 +181,40 @@ def test_pack_manifest_exact_fills(spark):
     assert man[2]["segments"] == "1:0:16,2:16:4"        # tail + doc2
     total = sum(r["n_tokens"] for r in man.values())
     assert total == 84
+
+
+def test_shuffled_packing_decorrelates_epoch_copies(spark):
+    """r7 (ADVICE): with an epoch column, the shuffle order key hashes
+    (doc_id, epoch) — epoch copies of one doc must NOT pack
+    back-to-back (doc_id-only hashing left every copy adjacent,
+    defeating the decorrelation), and the assignment must equal the
+    DuckDB oracle's global cumsum over the same hashed order."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_parser_python_spark.functions.oracle import packing_sql
+
+    rows = [(i, e, "w w w w w") for i in range(60) for e in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "doc_id long, epoch int, text string")
+    got = pack_sequences(df, seq_len=64, bucket_width=16, shuffle_seed=7)
+    starts = {(r["doc_id"], r["epoch"]): r["start"] for r in got.collect()}
+    # epoch copies adjacent in the stream = |start delta| == n_tokens
+    adjacent = sum(
+        1
+        for d in range(60)
+        for e in (1, 2)
+        if abs(starts[(d, e + 1)] - starts[(d, e)]) == 5
+    )
+    assert adjacent < 12, adjacent  # doc_id-only hashing gives 120
+
+    con = duckdb.connect()
+    con.register("up", pd.DataFrame(rows,
+                                    columns=["doc_id", "epoch", "text"]))
+    oracle = con.execute(
+        packing_sql(seq_len=64, source="up", shuffle_seed=7, epoch=True)
+    ).fetchdf()
+    want = {
+        (int(r.doc_id), int(r.epoch)): int(r.start)
+        for r in oracle.itertuples()
+    }
+    assert starts == want
