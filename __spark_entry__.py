@@ -1544,29 +1544,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # trivia (a1-a5, j*, w*, 3-4 rounds of green history, see
     # CORRECTNESS_r0{2,3,4,5}.json) rotates out; the union of r5+r6
     # windows covers all registered queries.
+    # Round 7 rotation: (a) extraction core every round (north rule);
+    # (b) everything TOUCHED this round — the composition family
+    # (paragraph_dedup passthrough, in-kernel exam reassembly), the
+    # packing family (epoch-aware shuffle key + oracle), the lineage
+    # family (consistent row keys, new DedupJob) — re-gated; (c) ALL 34
+    # queries outside r6's window, so the r6+r7 window union again
+    # covers every registered query (the policy the r6 verdict
+    # endorsed). pack_rollup / dedup_minhash / mix_plan rotate out
+    # (unchanged; their oracles run inside pack_assign / lineage_dedup
+    # / compose_e2e respectively, all in-window).
     gate_first = [
         # extraction core — north rule
         "extract_questions", "extract_questions_native",
         "extract_questions_chunked", "extract_flat_spans",
         "extract_validation", "extract_rescan", "envelope_metadata",
-        # §2 ids never officially gated (S1-S6, S10, A9, A12, §2.8)
-        "pdf_scan_spans", "pdf_scan_range", "s5_json_roundtrip",
-        "s6_store_roundtrip", "s10_media_dedup", "a9_page_metrics",
-        "a12_image_seen", "lineage_resume", "streaming_extract",
-        "html_extract_spans", "html_extract_spans_arrow",
-        "html_main_content",
-        # r4-green dedup/ANN, outside r5's window — rotate back in
-        "dedup_clusters", "dedup_jaccard", "dedup_embedding",
-        "dedup_embedding_vec", "dedup_simhash_vec", "sim_topk",
-        "sim_lsh_topk", "sim_lsh_topk_vec", "sim_lsh_topk_mp",
-        "sim_ivf_topk", "sim_ivf_topk_vec", "media_features",
-        # changed in round 6 (oracle cast / overflow fix / tiebreaker)
-        "pack_assign", "pack_rollup", "mix_plan", "mix_sample",
-        "dedup_minhash",
-        # new in round 6 (composition queries)
+        # touched in round 7
         "exam_reassemble", "compose_pack", "compose_e2e",
-        "pack_shuffled", "corpus_report", "streaming_gate",
-        "pack_manifest", "text_rarity", "lineage_curation",
+        "pack_assign", "pack_shuffled", "pack_manifest",
+        "lineage_curation", "lineage_resume", "mix_sample",
+        # outside r6's gate window — union coverage
+        "j1_join_revenue", "j3_anti", "j4_gaps", "j2_hydration",
+        "w1_order_index", "w3_sessionize", "w_window_agg",
+        "f5_repeat_filter", "a10_summary", "so_set_ops",
+        "w8_ordered_flatten", "w9_topk", "f2_regex_hash", "dedup_exact",
+        "text_stats", "lang_rollup", "j7_left_join", "j6_same_page",
+        "a5_capped_sum", "s_json_extract", "s_sample_assign",
+        "text_quality", "text_profile", "rep_profile",
+        "rep_profile_vec", "decontam", "decontam_clean", "pii_scrub",
+        "curation_gate", "curation_gate_vec", "para_dedup",
+        "top_ngrams", "lineage_dedup", "dedup_simhash",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)

@@ -913,6 +913,56 @@ def _dedup_phase(spark) -> dict:
         "planted_recall": round(found / npair, 4),
     }
 
+    # ── paragraph dedup: wall + PLANTED boilerplate recall/precision ──
+    # (VERDICT r6 item 7: the para pass measured walls and exactness
+    # but never boilerplate recall.) Synthetic corpus, texts a pure
+    # function of doc_id: every doc carries two UNIQUE paragraphs;
+    # docs with doc_id%16 < 8 additionally carry one of 8 shared
+    # boilerplate paragraphs (planted duplicate classes of ~n/16 docs
+    # each). Ground truth: the winner of class b is doc_id == b, so
+    # every planted doc with doc_id >= 16 must lose EXACTLY its
+    # boilerplate paragraph and nothing else.
+    n_para = min(DEDUP_DOCS, 1_000_000)
+    planted = (F.col("doc_id") % 16) < 8
+    boiler = F.concat(
+        F.lit("boilerplate footer variant "),
+        (F.col("doc_id") % 16).cast("string"),
+        F.lit(" all rights reserved terms apply"),
+    )
+    u = [
+        F.concat(F.lit(f"unique paragraph {j} of doc "),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" alpha beta gamma delta"))
+        for j in (1, 2)
+    ]
+    pcorpus = spark.range(n_para).select(
+        F.col("id").alias("doc_id"),
+        F.when(planted, F.concat_ws("\n\n", u[0], boiler, u[1]))
+        .otherwise(F.concat_ws("\n\n", u[0], u[1])).alias("text"),
+    )
+    t0 = time.perf_counter()
+    padir = "/tmp/bench_para_dedup.parquet"
+    dedup.paragraph_dedup(pcorpus).write.mode("overwrite").parquet(padir)
+    wall = time.perf_counter() - t0
+    pres = spark.read.parquet(padir)
+    loser = planted & (F.col("doc_id") >= 16)
+    pa = pres.agg(
+        F.count(F.when(loser, 1)).alias("expected"),
+        F.sum(F.when(loser, F.col("n_paras") - F.col("n_kept"))
+              ).alias("removed_planted"),
+        F.sum(F.when(~loser, F.col("n_paras") - F.col("n_kept"))
+              ).alias("removed_other"),
+    ).first()
+    removed = int(pa["removed_planted"] or 0)
+    out["para_dedup"] = {
+        "wall_sec": round(wall, 1),
+        "n_docs": n_para,
+        "planted_duplicate_paras": int(pa["expected"]),
+        "planted_recall": round(removed / max(int(pa["expected"]), 1), 4),
+        # every removal outside the planted set is a false positive
+        "false_removals": int(pa["removed_other"] or 0),
+    }
+
     # ── ANN top-k: exact vs LSH-bucket vs IVF on a planted query ──
     if not full_layout:
         out["note"] = ("corpus smaller than the planted layout; "
@@ -967,6 +1017,78 @@ def _dedup_phase(spark) -> dict:
                         & {r["vec_id"] for r in ivf}) / 10, 2)},
     }
     return out
+
+
+def _emit(out: dict) -> None:
+    """Print the full result object, then a COMPACT summary as the
+    FINAL stdout line (VERDICT r6 item 4: the driver's artifact keeps
+    only a 2,000-char tail of stdout, which truncated the full JSON's
+    HEAD — the per-query headline walls were unrecoverable for r6).
+    The summary carries the headline wall, per-query walls, per-family
+    walls and the scaling estimators, sized to always fit the tail."""
+    print(json.dumps(out))
+
+    def g(*keys, src=out):
+        cur = src
+        for k in keys:
+            if not isinstance(cur, dict):
+                return None
+            cur = cur.get(k)
+        return cur
+
+    ex = out.get("extraction") or {}
+    summary = {
+        # the final line satisfies the driver contract on its own
+        # (metric/value/unit/queries/sf), so it is valid whether the
+        # driver parses the last line or stores the raw tail
+        "metric": out.get("metric"),
+        "value": out.get("value"),
+        "unit": "sec",
+        "bench_summary": "r7",
+        "sf": out.get("sf"),
+        "queries": out.get("queries"),
+        "n_quiet_queries": sum(
+            1 for v in (out.get("queries_calibration") or {}).values()
+            if v.get("quiet")
+        ),
+        "full_width": {
+            "docs_per_sec": ex.get(f"docs_per_sec_local[{CPUS}]"),
+            "spans_per_sec": ex.get(f"spans_per_sec_local[{CPUS}]"),
+            "quiet": g("extraction", "full_width_calibration", "quiet"),
+        },
+        "scaling": {
+            "eff_min": ex.get("scaling_efficiency_NtoXN"),
+            "eff_trimmed": ex.get("scaling_efficiency_trimmed_median"),
+        },
+        "dedup_probe_eff_1to4": g("dedup_core_probe",
+                                  "step_efficiency_1to4"),
+        "family_walls_sec": {
+            "minhash_pairs": g("dedup_scale", "minhash_pairs",
+                               "wall_sec"),
+            "minhash_recall": g("dedup_scale", "minhash_pairs",
+                                "planted_recall"),
+            "minhash_clusters": g("dedup_scale", "minhash_clusters",
+                                  "wall_sec"),
+            "simhash": g("dedup_scale", "simhash_pairs", "wall_sec"),
+            "embedding": g("dedup_scale", "embedding_pairs", "wall_sec"),
+            "para_dedup": g("dedup_scale", "para_dedup", "wall_sec"),
+            "para_recall": g("dedup_scale", "para_dedup",
+                             "planted_recall"),
+            "giant_packed": g("giant_doc", "walls_sec",
+                              "packed_default"),
+            "giant10m": g("giant_10m", "wall_sec_span_rows_chunked"),
+            "e2e": g("pipeline_e2e", "wall_sec"),
+            "media": g("media_decode", "wall_sec_decode"),
+            "html": g("html_lane", "wall_sec_arrow"),
+            "curation_gate": g("curation", "wall_sec_curation_gate_arrow"),
+            "lineage_loop": g("lineage_overhead", "wall_sec_bucket_loop"),
+        },
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # never let the summary itself overflow
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    print(line)
 
 
 def warmup(spark) -> None:
@@ -1077,10 +1199,17 @@ def main() -> None:
         timed_quiet(pipeline.extract_flat_spans(corpus_docs))
         for _ in range(3)
     ]
-    if all(c > cal_floor[0] * 1.3 for _, c in full_samples):
+    # r7 (VERDICT item 4): bounded retry LOOP until one sample runs in
+    # a quiet window (the single r6 retry still left the official
+    # full-width number loud) — min() then picks the quiet floor
+    full_extra = 0
+    while (all(c > cal_floor[0] * 1.3 for _, c in full_samples)
+           and full_extra < 6):
+        time.sleep(2.0)  # let a co-tenant burst pass before retrying
         full_samples.append(
             timed_quiet(pipeline.extract_flat_spans(corpus_docs))
         )
+        full_extra += 1
     t_full, t_full_calib = min(full_samples)
 
     # ── phase 1b: giant-doc dispatch; phase 1c: dedup/ANN at scale ──
@@ -1185,7 +1314,7 @@ def main() -> None:
                 },
             },
         }
-        print(json.dumps(out))
+        _emit(out)
         return
     def run_round(rnd: int) -> None:
         for cores in (n_small, n_big):
@@ -1328,7 +1457,7 @@ def main() -> None:
             "parallelism_ratio": n_big / n_small,
         },
     }
-    print(json.dumps(out))
+    _emit(out)
 
 
 if __name__ == "__main__":

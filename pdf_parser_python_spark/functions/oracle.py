@@ -1559,7 +1559,12 @@ samp AS (
     SELECT * FROM (
         {mixture_sample_sql(weights, target_tokens, source="corp")}) s),
 pk AS (
-    SELECT (s.doc_id * 1024 + s.epoch) AS doc_id, c.text
+    -- guard the re-key multiplier headroom exactly like the Spark
+    -- side (raise_error on epoch >= 1024): collided keys would make
+    -- the packing order nondeterministic
+    SELECT CASE WHEN s.epoch >= 1024 THEN error('epoch overflow')
+                ELSE (s.doc_id * 1024 + s.epoch) END AS doc_id,
+           c.text
     FROM samp s JOIN corp c USING (doc_id))
 SELECT * FROM ({packing_sql(seq_len, source="pk")}) p"""
 
