@@ -1345,6 +1345,159 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_gate"] = streaming_gate
 
+    # — §2.8 custom STATEFUL streaming operator, hash-checked:
+    #   applyInPandasWithState first-seen exact dedup (GroupState
+    #   outlives micro-batches; digest computed JVM-side). One
+    #   availableNow batch over the corpus ⇒ output equals the batch
+    #   hash-groupBy, which IS the DuckDB oracle; the cross-batch /
+    #   restart statefulness is pytest-covered —
+    def streaming_dedup(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import stream as _stream
+        from pdf_parser_python_spark.streaming import windows as _W
+
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_dedup", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        src_dir = os.path.join(out, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        stream = _stream.read_text_documents_stream(spark, src_dir)
+        dd = _W.stateful_streaming_dedup(stream)
+        (
+            dd.writeStream.format("parquet")
+            .option("path", os.path.join(out, "keepers"))
+            .option("checkpointLocation", os.path.join(out, "_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(os.path.join(out, "keepers"))
+
+    q["streaming_dedup"] = streaming_dedup
+
+    # — §2.8 watermarked event-time tumbling windows, hash-checked:
+    #   append mode emits exactly the windows whose end has passed the
+    #   final watermark (max event time - delay, advanced by
+    #   availableNow's closing no-data batch) — the oracle reproduces
+    #   that emission rule in SQL, so the late-data semantics
+    #   themselves are value-checked, not just the aggregate —
+    def streaming_window(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import windows as _W
+
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_window", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        src_dir = os.path.join(out, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src_dir)
+        )
+        agg = _W.windowed_event_counts(stream, "1 minute", "2 minutes")
+        (
+            agg.writeStream.format("parquet")
+            .option("path", os.path.join(out, "windows"))
+            .option("checkpointLocation", os.path.join(out, "_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(os.path.join(out, "windows"))
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    q["streaming_window"] = streaming_window
+
+    # — OLAP surface: CUBE over (source, lang) with grouping_id —
+    #   partial-aggregable (one shuffle, map-side combine; Spark plans
+    #   Expand → HashAggregate, grouping-set rows never materialize
+    #   unaggregated) —
+    def corpus_rollup(spark, sf):
+        d = _docs(spark, sf, "documents")
+        return (
+            d.cube("source", "lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.grouping_id().cast("bigint").alias("gid"),
+            )
+        )
+
+    q["corpus_rollup"] = corpus_rollup
+
+    # — pivot: per-source language histogram as fixed columns (the
+    #   value list is pinned, so the plan is a single aggregate with
+    #   no collect-distinct pre-pass) —
+    def lang_pivot(spark, sf):
+        langs = ["de", "en", "es", "fr", "zh"]
+        d = _docs(spark, sf, "documents")
+        p = d.groupBy("source").pivot("lang", langs).agg(
+            F.count(F.lit(1))
+        )
+        return p.select(
+            "source",
+            *[
+                F.coalesce(F.col(l), F.lit(0)).alias(f"n_{l}")
+                for l in langs
+            ],
+        )
+
+    q["lang_pivot"] = lang_pivot
+
+    # — exact interpolated percentiles per source (Spark `percentile`
+    #   ≡ DuckDB `quantile_cont`: both take lo + frac·(hi-lo) at rank
+    #   p·(n-1); verified bit-equal over every (source, p) at sf0.01).
+    #   Exact percentile is a per-group sort — fine here because
+    #   groups are sources (bounded cardinality); a 100-TB corpus
+    #   keyed the same way sorts each source's lengths within its
+    #   aggregate buffer, not globally —
+    def corpus_percentiles(spark, sf):
+        d = _docs(spark, sf, "documents")
+        return (
+            d.groupBy("source")
+            .agg(
+                F.expr(
+                    "percentile(n_chars, array(0.25D, 0.5D, 0.9D, 0.99D))"
+                ).alias("p")
+            )
+            .select(
+                "source",
+                F.col("p")[0].alias("p25"),
+                F.col("p")[1].alias("p50"),
+                F.col("p")[2].alias("p90"),
+                F.col("p")[3].alias("p99"),
+            )
+        )
+
+    q["corpus_percentiles"] = corpus_percentiles
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -1548,12 +1701,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (b) everything TOUCHED this round — the composition family
     # (paragraph_dedup passthrough, in-kernel exam reassembly), the
     # packing family (epoch-aware shuffle key + oracle), the lineage
-    # family (consistent row keys, new DedupJob) — re-gated; (c) ALL 34
+    # family (consistent row keys, new DedupJob) — re-gated; (c) the
     # queries outside r6's window, so the r6+r7 window union again
     # covers every registered query (the policy the r6 verdict
-    # endorsed). pack_rollup / dedup_minhash / mix_plan rotate out
-    # (unchanged; their oracles run inside pack_assign / lineage_dedup
-    # / compose_e2e respectively, all in-window).
+    # endorsed); (d) the five NEW round-7 queries (stateful streaming
+    # dedup, watermarked windows, cube, pivot, exact percentiles) —
+    # first-ever rows, must be in-window. To make room for (d), five
+    # untouched entry-only SQL queries with 3-4 rounds of green
+    # history (j1/j6/j7/a5/a10, green r2-r5, code unchanged since)
+    # rotate out; their most recent official rows stay green.
     gate_first = [
         # extraction core — north rule
         "extract_questions", "extract_questions_native",
@@ -1563,13 +1719,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exam_reassemble", "compose_pack", "compose_e2e",
         "pack_assign", "pack_shuffled", "pack_manifest",
         "lineage_curation", "lineage_resume", "mix_sample",
+        # new in round 7 — first official rows
+        "streaming_dedup", "streaming_window", "corpus_rollup",
+        "lang_pivot", "corpus_percentiles",
         # outside r6's gate window — union coverage
-        "j1_join_revenue", "j3_anti", "j4_gaps", "j2_hydration",
+        "j3_anti", "j4_gaps", "j2_hydration",
         "w1_order_index", "w3_sessionize", "w_window_agg",
-        "f5_repeat_filter", "a10_summary", "so_set_ops",
+        "f5_repeat_filter", "so_set_ops",
         "w8_ordered_flatten", "w9_topk", "f2_regex_hash", "dedup_exact",
-        "text_stats", "lang_rollup", "j7_left_join", "j6_same_page",
-        "a5_capped_sum", "s_json_extract", "s_sample_assign",
+        "text_stats", "lang_rollup",
+        "s_json_extract", "s_sample_assign",
         "text_quality", "text_profile", "rep_profile",
         "rep_profile_vec", "decontam", "decontam_clean", "pii_scrub",
         "curation_gate", "curation_gate_vec", "para_dedup",
@@ -1650,6 +1809,53 @@ def oracle_sql() -> dict[str, str]:
         "pack_shuffled": _oracle.packing_sql(shuffle_seed=7),
         "corpus_report": _oracle.corpus_report_sql(),
         "streaming_gate": _oracle.curation_sql(),
+        # one availableNow micro-batch ⇒ stateful first-seen dedup
+        # equals the batch hash-groupBy (windows.py docstring)
+        "streaming_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        # append-mode emission rule reproduced in SQL: a window is
+        # emitted iff its end has passed the final watermark
+        # (max event time - delay); the held-back tail windows are
+        # part of the check, not noise
+        "streaming_window": """
+            WITH e AS (SELECT ts, event_type, value FROM events),
+            agg AS (
+                SELECT date_trunc('minute', ts) AS ws, event_type,
+                       count(*) AS n_events,
+                       round(sum(value), 2) AS total_value
+                FROM e GROUP BY 1, 2)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+                   event_type AS event_type, n_events, total_value
+            FROM agg
+            WHERE ws + INTERVAL 1 MINUTE
+                  <= (SELECT max(ts) - INTERVAL 2 MINUTE FROM e)
+        """,
+        "corpus_rollup": """
+            SELECT source, lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   GROUPING(source, lang)::BIGINT AS gid
+            FROM documents GROUP BY CUBE (source, lang)
+        """,
+        "lang_pivot": """
+            SELECT source AS source,
+                   count(*) FILTER (lang = 'de') AS n_de,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(*) FILTER (lang = 'es') AS n_es,
+                   count(*) FILTER (lang = 'fr') AS n_fr,
+                   count(*) FILTER (lang = 'zh') AS n_zh
+            FROM documents GROUP BY source
+        """,
+        "corpus_percentiles": """
+            SELECT source AS source,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.5)  AS p50,
+                   quantile_cont(n_chars, 0.9)  AS p90,
+                   quantile_cont(n_chars, 0.99) AS p99
+            FROM documents GROUP BY source
+        """,
         "pack_manifest": _oracle.pack_manifest_sql(),
         "text_rarity": _oracle.rarity_sql(),
         "lineage_curation": _oracle.curation_sql(),

@@ -17,6 +17,10 @@ streams; these are the streaming building blocks:
   ``timeout_ms`` — the custom stateful operator for sources that
   deliver spans incrementally instead of packed rows. Downstream, the
   normal batch pipeline parses the emitted packed rows.
+- :func:`stateful_streaming_dedup` — applyInPandasWithState: exact
+  first-seen dedup over an unbounded document stream. The digest is
+  computed JVM-side (one md5 projection) so the stateful stage only
+  shuffles (digest, doc_id) pairs; per-digest state is 16 bytes.
 """
 
 from __future__ import annotations
@@ -154,4 +158,79 @@ def assembled_documents(assembled: DataFrame) -> DataFrame:
         "doc_id",
         F.from_json("spans_json", span_type).alias("spans"),
         "n_spans",
+    )
+
+
+DEDUP_EMIT = T.StructType(
+    [
+        T.StructField("text_md5", T.StringType(), False),
+        T.StructField("keeper_doc_id", T.LongType(), True),
+        T.StructField("n_copies", T.LongType(), False),
+    ]
+)
+
+_DEDUP_STATE = T.StructType(
+    [
+        T.StructField("keeper", T.LongType(), True),
+        T.StructField("n_seen", T.LongType(), True),
+    ]
+)
+
+
+def stateful_streaming_dedup(
+    doc_stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact first-seen dedup over an unbounded document stream.
+
+    Batch exact dedup (operators/dedup.exact_dedup) is one
+    hash-groupBy; on a stream the "have I seen this digest?" set must
+    OUTLIVE micro-batches, which is precisely GroupState. Semantics:
+
+    - the digest (md5 of ``text_col``) is computed JVM-side before the
+      stateful stage, so only slim ``(text_md5, doc_id)`` pairs shuffle;
+    - the FIRST micro-batch a digest appears in emits one row
+      ``(text_md5, keeper_doc_id, n_copies)`` where ``keeper_doc_id``
+      is the min doc_id among that batch's copies (deterministic
+      within a batch regardless of partition arrival order) and
+      ``n_copies`` counts that batch's copies;
+    - every LATER copy — same batch (grouped away), later batch, or
+      after a restart (state lives in the checkpoint) — is dropped,
+      only bumping the state counter. Emission is append-mode
+      exactly-once: a digest yields exactly one output row ever.
+
+    Over a single micro-batch this equals the batch groupBy
+    ``(md5(text), min(doc_id), count(*))`` — the driver oracle; the
+    cross-batch/restart behavior is pytest-covered. State per digest is
+    two longs, so 10^10 distinct documents cost ~320 GB of state
+    spread across executors — RocksDB state store territory, linear
+    and shardable, never a driver structure.
+    """
+    d = doc_stream.select(
+        F.md5(F.col(text_col)).alias("text_md5"), "doc_id"
+    )
+
+    def first_seen(key, pdfs, state):
+        n_new = 0
+        mn = None
+        for pdf in pdfs:
+            if len(pdf):
+                n_new += len(pdf)
+                m = int(pdf["doc_id"].min())
+                mn = m if mn is None else min(mn, m)
+        if state.exists:
+            keeper, n_seen = state.get
+            state.update((keeper, int(n_seen) + n_new))
+        else:
+            state.update((mn, n_new))
+            yield pd.DataFrame(
+                [(key[0], mn, n_new)],
+                columns=["text_md5", "keeper_doc_id", "n_copies"],
+            )
+
+    return d.groupBy("text_md5").applyInPandasWithState(
+        first_seen,
+        outputStructType=DEDUP_EMIT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

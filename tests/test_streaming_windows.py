@@ -142,3 +142,100 @@ def test_assembler_feeds_vectorized_kernel(spark):
         key = lambda r: (r["seq"], r["question_number"],
                          r["question_text"], r["answer_text"])
         assert sorted(map(key, got)) == sorted(map(key, expected))
+
+
+def test_stateful_streaming_dedup_restart(spark):
+    """First-seen dedup state survives micro-batches AND restarts:
+    phase 2 must not re-emit digests already seen in phase 1."""
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        sink = os.path.join(td, "keepers")
+        ck = os.path.join(td, "ck")
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(src)
+            q = (
+                W.stateful_streaming_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        a = spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha"), (3, "beta")],
+            "doc_id long, text string",
+        )
+        a.coalesce(1).write.mode("append").parquet(src)
+        run_once()
+        got1 = {r.text_md5: r for r in spark.read.parquet(sink).collect()}
+        assert len(got1) == 2
+        by_text = {
+            r.text_md5: (r.keeper_doc_id, r.n_copies)
+            for r in got1.values()
+        }
+        # keeper = min doc_id of the batch, n_copies = batch count
+        assert sorted(by_text.values()) == [(1, 2), (3, 1)]
+
+        # phase 2: duplicates of phase-1 texts + one new text
+        b = spark.createDataFrame(
+            [(10, "alpha"), (11, "beta"), (12, "gamma")],
+            "doc_id long, text string",
+        )
+        b.coalesce(1).write.mode("append").parquet(src)
+        run_once()  # restart from the same checkpoint
+        got2 = spark.read.parquet(sink).collect()
+        # exactly ONE new emission (gamma); alpha/beta suppressed by
+        # state reloaded from the checkpoint
+        assert len(got2) == 3
+        new = [r for r in got2 if r.text_md5 not in got1]
+        assert len(new) == 1
+        assert (new[0].keeper_doc_id, new[0].n_copies) == (12, 1)
+
+
+def test_stateful_streaming_dedup_equals_batch(spark):
+    """One availableNow micro-batch ⇒ output equals the batch
+    hash-groupBy (the driver oracle's contract)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        src = os.path.join(td, "in")
+        os.makedirs(src)
+        os.symlink(
+            "/root/testdata/sf0.001/documents.parquet",
+            os.path.join(src, "documents.parquet"),
+        )
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            W.stateful_streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(td, "keepers"))
+            .option("checkpointLocation", os.path.join(td, "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.text_md5, r.keeper_doc_id, r.n_copies)
+            for r in spark.read.parquet(
+                os.path.join(td, "keepers")
+            ).collect()
+        }
+        expected = {
+            (r.text_md5, r.keeper_doc_id, r.n_copies)
+            for r in docs.groupBy(F.md5("text").alias("text_md5"))
+            .agg(
+                F.count("*").alias("n_copies"),
+                F.min("doc_id").alias("keeper_doc_id"),
+            )
+            .collect()
+        }
+        assert got == expected
