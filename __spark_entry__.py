@@ -1435,6 +1435,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_window"] = streaming_window
 
+    # — §2.8 session windows with a gap timeout inside Structured
+    #   Streaming, hash-checked: a session's span is [min ts, last ts
+    #   + gap); append mode emits a session once the watermark passes
+    #   its end. The oracle rebuilds the same sessions as a
+    #   gaps-and-islands SQL (new session when the gap is >= 30 min —
+    #   Spark merges on strict overlap only) and applies the same
+    #   emission rule; timestamps compare as exact epoch-micros —
+    def streaming_sessions(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import windows as _W
+
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_sessions", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        src_dir = os.path.join(out, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 16)
+            .parquet(src_dir)
+        )
+        agg = _W.sessionize_stream(stream, "30 minutes", "2 hours")
+        (
+            agg.writeStream.format("parquet")
+            .option("path", os.path.join(out, "sessions"))
+            .option("checkpointLocation", os.path.join(out, "_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(os.path.join(out, "sessions"))
+            .select(
+                "user_id",
+                F.unix_micros("session_start").alias("session_start_us"),
+                F.unix_micros("session_end").alias("session_end_us"),
+                "n_events",
+            )
+        )
+
+    q["streaming_sessions"] = streaming_sessions
+
     # — OLAP surface: CUBE over (source, lang) with grouping_id —
     #   partial-aggregable (one shuffle, map-side combine; Spark plans
     #   Expand → HashAggregate, grouping-set rows never materialize
@@ -1497,6 +1548,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["corpus_percentiles"] = corpus_percentiles
+
+    # — bucketed at-rest layout: both sides written bucketBy(doc_id)
+    #   once, then the join reads co-located buckets and drops BOTH
+    #   Exchanges (the write pays its one routing shuffle up front;
+    #   every later join/agg on the key rides free — the 100-TB story
+    #   the store docstring promises, plan-asserted in
+    #   tests/test_store.py). Here: documents ⋈ exact-dedup keepers —
+    def bucketed_join(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.operators import store as _store
+        from pdf_parser_python_spark.operators.dedup import exact_dedup
+
+        base = os.path.join(
+            tempfile.gettempdir(), "bucketed", os.path.basename(sf)
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        d = _docs(spark, sf, "documents")
+        keep = exact_dedup(d).select("keeper_doc_id", "n_copies")
+        spark.sql("DROP TABLE IF EXISTS bj_docs")
+        spark.sql("DROP TABLE IF EXISTS bj_keep")
+        _store.write_bucketed(
+            d, "bj_docs", "doc_id", 16,
+            sort_col="doc_id", path=os.path.join(base, "docs"),
+        )
+        _store.write_bucketed(
+            keep, "bj_keep", "keeper_doc_id", 16,
+            sort_col="keeper_doc_id", path=os.path.join(base, "keep"),
+        )
+        docs_t = spark.table("bj_docs")
+        keep_t = spark.table("bj_keep")
+        j = docs_t.join(
+            keep_t, docs_t.doc_id == keep_t.keeper_doc_id
+        )
+        return j.select("doc_id", "source", "lang", "n_copies")
+
+    q["bucketed_join"] = bucketed_join
 
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
@@ -1720,11 +1809,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_assign", "pack_shuffled", "pack_manifest",
         "lineage_curation", "lineage_resume", "mix_sample",
         # new in round 7 — first official rows
-        "streaming_dedup", "streaming_window", "corpus_rollup",
-        "lang_pivot", "corpus_percentiles",
+        "streaming_dedup", "streaming_window", "streaming_sessions",
+        "corpus_rollup", "lang_pivot", "corpus_percentiles",
+        "bucketed_join",
         # outside r6's gate window — union coverage
         "j3_anti", "j4_gaps", "j2_hydration",
-        "w1_order_index", "w3_sessionize", "w_window_agg",
+        "w1_order_index", "w_window_agg",
         "f5_repeat_filter", "so_set_ops",
         "w8_ordered_flatten", "w9_topk", "f2_regex_hash", "dedup_exact",
         "text_stats", "lang_rollup",
@@ -1732,7 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality", "text_profile", "rep_profile",
         "rep_profile_vec", "decontam", "decontam_clean", "pii_scrub",
         "curation_gate", "curation_gate_vec", "para_dedup",
-        "top_ngrams", "lineage_dedup", "dedup_simhash",
+        "top_ngrams", "lineage_dedup",
     ]
     ordered = {k: q[k] for k in gate_first if k in q}
     ordered.update((k, v) for k, v in q.items() if k not in ordered)
@@ -1833,6 +1923,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE ws + INTERVAL 1 MINUTE
                   <= (SELECT max(ts) - INTERVAL 2 MINUTE FROM e)
         """,
+        # gaps-and-islands twin of session_window: same session iff
+        # the gap is < 30 min (Spark merges on strict overlap), span =
+        # [min ts, max ts + gap), emitted iff the final watermark
+        # passed the session end; epoch-micros for exact compare
+        "streaming_sessions": """
+            WITH e AS (SELECT user_id, ts FROM events),
+            g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 >= 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g),
+            agg AS (
+                SELECT user_id, sid, min(ts) AS session_start,
+                       max(ts) + INTERVAL 30 MINUTE AS session_end,
+                       count(*) AS n_events
+                FROM s GROUP BY user_id, sid)
+            SELECT user_id AS user_id,
+                   epoch_us(session_start) AS session_start_us,
+                   epoch_us(session_end) AS session_end_us,
+                   n_events AS n_events
+            FROM agg
+            WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM e)
+        """,
         "corpus_rollup": """
             SELECT source, lang, count(*) AS n_docs,
                    sum(n_chars)::BIGINT AS total_chars,
@@ -1855,6 +1975,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9)  AS p90,
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        # the digest only partitions texts — any exact hash yields
+        # the same keeper/count, so md5 here ≡ the operator's sha2
+        "bucketed_join": """
+            WITH k AS (
+                SELECT min(doc_id) AS keeper_doc_id,
+                       count(*) AS n_copies
+                FROM documents GROUP BY md5(text))
+            SELECT d.doc_id AS doc_id, d.source AS source,
+                   d.lang AS lang, k.n_copies AS n_copies
+            FROM documents d
+            JOIN k ON d.doc_id = k.keeper_doc_id
         """,
         "pack_manifest": _oracle.pack_manifest_sql(),
         "text_rarity": _oracle.rarity_sql(),

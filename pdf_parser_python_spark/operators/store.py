@@ -198,3 +198,34 @@ def hydrate(tables: dict[str, DataFrame]) -> DataFrame:
         )
     )
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` hash-bucketed by ``bucket_col`` so later joins
+    and aggregations on that key read co-located buckets and skip the
+    shuffle entirely (bucket metadata lives in the table catalog;
+    Spark matches bucket specs at plan time and drops both Exchanges
+    — plan-asserted in tests/test_store.py).
+
+    This is the at-rest layout the module docstring promises for the
+    normalized store: bucket all child tables by doc_id once at write
+    time, and every hydration join — including repeated downstream
+    reads at 100 TB — becomes a zero-shuffle sort-merge join. The
+    write itself pays ONE shuffle to route rows to buckets; with
+    ``sort_col`` the buckets are also pre-sorted so the join skips
+    its Sort too. Bucketed output requires the table catalog
+    (``saveAsTable``); ``path`` makes it an external table.
+    """
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").mode("overwrite").saveAsTable(table)

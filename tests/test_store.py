@@ -53,3 +53,47 @@ def test_json_sink_round_trip(spark, tmp_path):
     b = sorted((r.seq, r.order, r.section, r.kind, r.text, r.media_ref)
                for r in back.collect())
     assert a == b
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """write_bucketed on both join sides ⇒ the join plan has NO
+    Exchange (bucket specs matched at plan time) and the result
+    equals the plain shuffled join."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = docs.select("doc_id", F.length("text").alias("n_len"))
+    with tempfile.TemporaryDirectory() as td:
+        spark.sql("DROP TABLE IF EXISTS tb_docs")
+        spark.sql("DROP TABLE IF EXISTS tb_stats")
+        store.write_bucketed(
+            docs, "tb_docs", "doc_id", 8,
+            sort_col="doc_id", path=td + "/docs",
+        )
+        store.write_bucketed(
+            stats, "tb_stats", "doc_id", 8,
+            sort_col="doc_id", path=td + "/stats",
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("tb_docs").join(
+                spark.table("tb_stats"), "doc_id"
+            ).select("doc_id", "source", "n_len")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            got = {(r.doc_id, r.source, r.n_len) for r in j.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        expected = {
+            (r.doc_id, r.source, r.n_len)
+            for r in docs.join(stats, "doc_id")
+            .select("doc_id", "source", "n_len")
+            .collect()
+        }
+        assert got == expected
+        spark.sql("DROP TABLE tb_docs")
+        spark.sql("DROP TABLE tb_stats")
