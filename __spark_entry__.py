@@ -1503,9 +1503,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_rollup"] = corpus_rollup
 
-    # — pivot: per-source language histogram as fixed columns (the
-    #   value list is pinned, so the plan is a single aggregate with
-    #   no collect-distinct pre-pass) —
+    # — pivot: per-source language histogram as fixed columns. The
+    #   value list is pinned, so there is NO collect-distinct
+    #   pre-pass (an eager job at scale); the plan is Spark's
+    #   standard two-phase pivot — partial count per (source, lang),
+    #   then PivotFirst per source — two map-side-combined shuffles
+    #   on bounded keys —
     def lang_pivot(spark, sf):
         langs = ["de", "en", "es", "fr", "zh"]
         d = _docs(spark, sf, "documents")
@@ -1586,6 +1589,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.select("doc_id", "source", "lang", "n_copies")
 
     q["bucketed_join"] = bucketed_join
+
+    # — skew-salting pattern, hash-checked: a 20-key join (source) is
+    #   pathologically skewed at 100 TB — salting fans each dim row
+    #   out ×16 and routes probe rows by hash(doc_id)%16, so the
+    #   shuffle spreads over 320 (key, salt) pairs instead of 20 hot
+    #   reducers. Here the dim side is small enough to broadcast (and
+    #   Catalyst will); the query exists to value-check the rewrite
+    #   itself — salted output ≡ plain join — for the case where the
+    #   dim side is too big to broadcast —
+    def salted_join(spark, sf):
+        n_salt = 16
+        d = _docs(spark, sf, "documents")
+        stats = d.groupBy("source").agg(
+            F.count("*").alias("n_source_docs")
+        )
+        salted = stats.withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(i) for i in range(n_salt)])),
+        )
+        probe = d.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_salt)).cast("int"),
+        )
+        return probe.join(salted, ["source", "salt"]).select(
+            "doc_id", "source", "n_source_docs"
+        )
+
+    q["salted_join"] = salted_join
+
+    # — quartile banding WITHOUT a rank window: ntile over
+    #   partitionBy(source) would sort each source's rows on ≤20
+    #   reducers regardless of cluster size; instead the per-source
+    #   p25/p50/p75 cutoffs (a 20-row exact-percentile aggregate)
+    #   broadcast back and each row bands by comparison — map-only
+    #   after one small agg, identical plan shape at any scale —
+    def source_quartile_band(spark, sf):
+        d = _docs(spark, sf, "documents")
+        cuts = d.groupBy("source").agg(
+            F.expr(
+                "percentile(n_chars, array(0.25D, 0.5D, 0.75D))"
+            ).alias("c")
+        ).select(
+            "source",
+            F.col("c")[0].alias("c25"),
+            F.col("c")[1].alias("c50"),
+            F.col("c")[2].alias("c75"),
+        )
+        return (
+            d.join(F.broadcast(cuts), "source")
+            .select(
+                "doc_id",
+                "source",
+                (
+                    F.lit(1)
+                    + (F.col("n_chars") > F.col("c25")).cast("int")
+                    + (F.col("n_chars") > F.col("c50")).cast("int")
+                    + (F.col("n_chars") > F.col("c75")).cast("int")
+                ).alias("quartile"),
+            )
+        )
+
+    q["source_quartile_band"] = source_quartile_band
 
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
@@ -1811,11 +1876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 7 — first official rows
         "streaming_dedup", "streaming_window", "streaming_sessions",
         "corpus_rollup", "lang_pivot", "corpus_percentiles",
-        "bucketed_join",
+        "bucketed_join", "salted_join", "source_quartile_band",
         # outside r6's gate window — union coverage
         "j3_anti", "j4_gaps", "j2_hydration",
         "w1_order_index", "w_window_agg",
-        "f5_repeat_filter", "so_set_ops",
         "w8_ordered_flatten", "w9_topk", "f2_regex_hash", "dedup_exact",
         "text_stats", "lang_rollup",
         "s_json_extract", "s_sample_assign",
@@ -1975,6 +2039,31 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9)  AS p90,
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        # salted output must equal the PLAIN join — the salt is pure
+        # routing and must never change results
+        "salted_join": """
+            WITH s AS (
+                SELECT source, count(*) AS n_source_docs
+                FROM documents GROUP BY source)
+            SELECT d.doc_id AS doc_id, d.source AS source,
+                   s.n_source_docs AS n_source_docs
+            FROM documents d JOIN s USING (source)
+        """,
+        # band by the same exact-percentile cutoffs
+        # (quantile_cont ≡ Spark percentile, bit-equal)
+        "source_quartile_band": """
+            WITH c AS (
+                SELECT source,
+                       quantile_cont(n_chars, 0.25) AS c25,
+                       quantile_cont(n_chars, 0.5)  AS c50,
+                       quantile_cont(n_chars, 0.75) AS c75
+                FROM documents GROUP BY source)
+            SELECT d.doc_id AS doc_id, d.source AS source,
+                   (1 + (d.n_chars > c.c25)::INT
+                      + (d.n_chars > c.c50)::INT
+                      + (d.n_chars > c.c75)::INT) AS quartile
+            FROM documents d JOIN c USING (source)
         """,
         # the digest only partitions texts — any exact hash yields
         # the same keeper/count, so md5 here ≡ the operator's sha2

@@ -32,10 +32,16 @@ def ddb():
 
 
 def _norm(v):
+    if v is None:
+        # CUBE/grouping-set rows carry NULL keys; stringify so mixed
+        # None/str columns stay sortable (identical on both engines)
+        return "\x00null"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
     return v
 
 
@@ -47,11 +53,15 @@ QUERIES = entrymod.queries()
 def test_query_matches_oracle(spark, ddb, name):
     sdf = QUERIES[name](spark, SF_DIR)
     cols = sdf.columns
-    got = sorted(tuple(_norm(v) for v in row) for row in sdf.collect())
+    got = sorted(
+        (tuple(_norm(v) for v in row) for row in sdf.collect()), key=repr
+    )
 
     res = ddb.execute(ORACLES[name])
     ocols = [d[0] for d in res.description]
-    exp = sorted(tuple(_norm(v) for v in row) for row in res.fetchall())
+    exp = sorted(
+        (tuple(_norm(v) for v in row) for row in res.fetchall()), key=repr
+    )
 
     assert sorted(cols) == sorted(ocols), (cols, ocols)
     assert len(got) == len(exp)
