@@ -155,3 +155,43 @@ def test_doc_text_zero_exchange(spark):
     p_giant = _plan(pipeline.extract_doc_text(_docs(spark),
                                               giant_doc_spans=10))
     assert "Union" in p_giant and p_giant.count("MapInArrow") >= 1
+
+
+def test_round7_query_plan_shapes(spark):
+    """Plan-lock the round-7 batch surfaces' documented shapes:
+    - corpus_rollup: grouping sets via ONE Expand + partial agg
+      (one shuffle), never a union of per-set scans;
+    - lang_pivot: pinned values ⇒ no eager collect-distinct job, two
+      map-side-combined aggregate shuffles at most;
+    - source_quartile_band: cutoffs come back via BROADCAST join
+      (no rank window, no row-shuffle of the probe side beyond the
+      20-row aggregate);
+    - salted_join: the salted key join partitions on (source, salt).
+    """
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    sf = "/root/testdata/sf0.001"
+
+    p = _plan(q["corpus_rollup"](spark, sf))
+    assert "Expand" in p and p.count("Exchange") == 1 and "Union" not in p
+
+    p = _plan(q["lang_pivot"](spark, sf))
+    assert p.count("Exchange") <= 2 and "Window" not in p
+
+    p = _plan(q["source_quartile_band"](spark, sf))
+    assert "BroadcastHashJoin" in p and "Window" not in p
+    assert "SortMergeJoin" not in p
+
+    # the dim side is broadcastable here, so Catalyst broadcasts it —
+    # the salted shuffle (the pattern under test) shows once the dim
+    # side is "too big to broadcast":
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(q["salted_join"](spark, sf))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "hashpartitioning(source" in p and "salt" in p.split(
+        "hashpartitioning(source", 1
+    )[1][:80]
