@@ -1652,6 +1652,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_quartile_band"] = source_quartile_band
 
+    # — as-of join (an operator Spark lacks; DuckDB's native ASOF
+    #   JOIN is the oracle): each purchase attributes to the user's
+    #   LATEST prior view via union + one per-key window carry — one
+    #   shuffle on user_id, no per-row range probe
+    #   (operators/temporal.py). Output is ids + µs gaps only, so the
+    #   check is timezone-free and integer-exact —
+    def asof_attribution(spark, sf):
+        from pdf_parser_python_spark.operators.temporal import asof_join
+
+        ev = _docs(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        )
+        v = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id"
+        )
+        out = asof_join(p, v, on="user_id", ts="ts",
+                        right_payload=("event_id",))
+        return out.select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("event_id_matched").alias("view_event_id"),
+            (
+                F.unix_micros("ts") - F.unix_micros("ts_matched")
+            ).alias("gap_us"),
+        )
+
+    q["asof_attribution"] = asof_attribution
+
+    # — bounded range join: click → purchase pairs within 1 h, as a
+    #   time-bin equi-join (+ exact post-filter) instead of the
+    #   inequality join Spark would plan as a nested loop
+    #   (operators/temporal.py; no-nested-loop plan-asserted) —
+    def range_pairs(spark, sf):
+        from pdf_parser_python_spark.operators.temporal import range_join
+
+        ev = _docs(spark, sf, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        c = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        out = range_join(c, p, on="user_id", ts="ts",
+                         window_sec=3600, right_payload=("event_id",))
+        return out.select(
+            F.col("event_id").alias("click_event_id"),
+            "user_id",
+            F.col("event_id_after").alias("purchase_event_id"),
+            (
+                F.col("ts_after_us") - F.unix_micros("ts")
+            ).alias("gap_us"),
+        )
+
+    q["range_pairs"] = range_pairs
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -1877,10 +1938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup", "streaming_window", "streaming_sessions",
         "corpus_rollup", "lang_pivot", "corpus_percentiles",
         "bucketed_join", "salted_join", "source_quartile_band",
+        "asof_attribution", "range_pairs",
         # outside r6's gate window — union coverage
         "j3_anti", "j4_gaps", "j2_hydration",
         "w1_order_index", "w_window_agg",
-        "w8_ordered_flatten", "w9_topk", "f2_regex_hash", "dedup_exact",
+        "w8_ordered_flatten", "dedup_exact",
         "text_stats", "lang_rollup",
         "s_json_extract", "s_sample_assign",
         "text_quality", "text_profile", "rep_profile",
@@ -2039,6 +2101,31 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9)  AS p90,
                    quantile_cont(n_chars, 0.99) AS p99
             FROM documents GROUP BY source
+        """,
+        # DuckDB's NATIVE ASOF JOIN checks the window-carry rewrite;
+        # gaps in µs keep the compare integer-exact and tz-free
+        "asof_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts, value
+                       FROM events WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id, user_id, ts
+                       FROM events WHERE event_type = 'view')
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   round(p.value, 2) AS value,
+                   v.event_id AS view_event_id,
+                   epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+            FROM p ASOF JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # the plain inequality join the binned rewrite must equal
+        "range_pairs": """
+            SELECT c.event_id AS click_event_id,
+                   c.user_id AS user_id,
+                   p.event_id AS purchase_event_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
         """,
         # salted output must equal the PLAIN join — the salt is pure
         # routing and must never change results
