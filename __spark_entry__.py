@@ -1713,6 +1713,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["range_pairs"] = range_pairs
 
+    # — §2.8 stream-stream interval join: the streaming twin of
+    #   range_pairs, value-checked against the SAME inequality-join
+    #   oracle. Both streams watermark and the join carries the time
+    #   range, so both state stores are bounded; one availableNow
+    #   batch emits every qualifying pair —
+    def streaming_range_join(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import windows as _W
+
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_rjoin", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        src_dir = os.path.join(out, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+
+        def stream():
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 16)
+                .parquet(src_dir)
+            )
+
+        clicks = stream().filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        buys = stream().filter(
+            F.col("event_type") == "purchase"
+        ).select("user_id", "ts", "event_id")
+        j = _W.interval_join_streams(clicks, buys, window_sec=3600)
+        (
+            j.writeStream.format("parquet")
+            .option("path", os.path.join(out, "pairs"))
+            .option("checkpointLocation", os.path.join(out, "_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(os.path.join(out, "pairs")).select(
+            F.col("l_event_id").alias("click_event_id"),
+            F.col("l_user_id").alias("user_id"),
+            F.col("r_event_id").alias("purchase_event_id"),
+            (
+                F.unix_micros("r_ts") - F.unix_micros("l_ts")
+            ).alias("gap_us"),
+        )
+
+    q["streaming_range_join"] = streaming_range_join
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -1938,11 +1995,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup", "streaming_window", "streaming_sessions",
         "corpus_rollup", "lang_pivot", "corpus_percentiles",
         "bucketed_join", "salted_join", "source_quartile_band",
-        "asof_attribution", "range_pairs",
+        "asof_attribution", "range_pairs", "streaming_range_join",
         # outside r6's gate window — union coverage
         "j3_anti", "j4_gaps", "j2_hydration",
         "w1_order_index", "w_window_agg",
-        "w8_ordered_flatten", "dedup_exact",
+        "w8_ordered_flatten",
         "text_stats", "lang_rollup",
         "s_json_extract", "s_sample_assign",
         "text_quality", "text_profile", "rep_profile",
@@ -2118,6 +2175,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the plain inequality join the binned rewrite must equal
         "range_pairs": """
+            SELECT c.event_id AS click_event_id,
+                   c.user_id AS user_id,
+                   p.event_id AS purchase_event_id,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        """,
+        # streaming twin: SAME oracle as range_pairs — the
+        # watermarked stream-stream join must emit exactly the
+        # inequality join's pairs
+        "streaming_range_join": """
             SELECT c.event_id AS click_event_id,
                    c.user_id AS user_id,
                    p.event_id AS purchase_event_id,

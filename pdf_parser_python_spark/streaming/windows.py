@@ -234,3 +234,50 @@ def stateful_streaming_dedup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def interval_join_streams(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    window_sec: int = 3600,
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval:
+    pairs of the same key with ``left.ts <= right.ts < left.ts +
+    window_sec``. Both sides carry watermarks and the join condition
+    includes the time range, so Spark bounds BOTH state stores — left
+    rows age out once the watermark passes ``ts + window_sec``, right
+    rows once it passes ``ts``. Without the range the state would
+    grow forever; this is the streaming twin of
+    operators/temporal.range_join and is value-checked against the
+    SAME plain inequality-join oracle (driver query
+    ``streaming_range_join``)."""
+    l = left_stream.select(
+        F.col(on).alias(left_prefix + on),
+        F.col(ts).cast("timestamp").alias(left_prefix + ts),
+        *[
+            F.col(c).alias(left_prefix + c)
+            for c in left_stream.columns
+            if c not in (on, ts)
+        ],
+    ).withWatermark(left_prefix + ts, watermark)
+    r = right_stream.select(
+        F.col(on).alias(right_prefix + on),
+        F.col(ts).cast("timestamp").alias(right_prefix + ts),
+        *[
+            F.col(c).alias(right_prefix + c)
+            for c in right_stream.columns
+            if c not in (on, ts)
+        ],
+    ).withWatermark(right_prefix + ts, watermark)
+    lt, rt = F.col(left_prefix + ts), F.col(right_prefix + ts)
+    cond = (
+        (F.col(left_prefix + on) == F.col(right_prefix + on))
+        & (rt >= lt)
+        & (rt < lt + F.expr(f"INTERVAL {int(window_sec)} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
