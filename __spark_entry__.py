@@ -1770,6 +1770,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_range_join"] = streaming_range_join
 
+    # — §2.8 stream-static join: each streamed document enriches
+    #   against a STATIC dimension (per-source doc counts, computed
+    #   once batch-side and broadcast) inside the streaming query —
+    #   stateless, no watermark needed; the standard "enrich events
+    #   with a dimension table" shape. Same oracle as the plain
+    #   batch join —
+    def streaming_enrich(spark, sf):
+        import shutil
+        import tempfile
+
+        from pdf_parser_python_spark.streaming import stream as _stream
+
+        out = os.path.join(
+            tempfile.gettempdir(), "stream_enrich", os.path.basename(sf)
+        )
+        shutil.rmtree(out, ignore_errors=True)
+        src_dir = os.path.join(out, "in")
+        os.makedirs(src_dir)
+        os.symlink(
+            os.path.join(sf, "documents.parquet"),
+            os.path.join(src_dir, "documents.parquet"),
+        )
+        dim = (
+            _docs(spark, sf, "documents")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_source_docs"))
+        )
+        stream = _stream.read_text_documents_stream(spark, src_dir)
+        enriched = stream.select("doc_id", "source", "lang").join(
+            F.broadcast(dim), "source"
+        )
+        (
+            enriched.writeStream.format("parquet")
+            .option("path", os.path.join(out, "enriched"))
+            .option("checkpointLocation", os.path.join(out, "_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return spark.read.parquet(os.path.join(out, "enriched")).select(
+            "doc_id", "source", "lang", "n_source_docs"
+        )
+
+    q["streaming_enrich"] = streaming_enrich
+
     # — S5/S6 sink round-trips, hash-checked: full nested questions →
     #   sink → back, reduced to a digest (flat scalars + per-option
     #   key~text~is_correct~n_images + per-section image counts) the
@@ -1996,12 +2042,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup", "lang_pivot", "corpus_percentiles",
         "bucketed_join", "salted_join", "source_quartile_band",
         "asof_attribution", "range_pairs", "streaming_range_join",
+        "streaming_enrich",
         # outside r6's gate window — union coverage
         "j3_anti", "j4_gaps", "j2_hydration",
         "w1_order_index", "w_window_agg",
         "w8_ordered_flatten",
         "text_stats", "lang_rollup",
-        "s_json_extract", "s_sample_assign",
+        "s_sample_assign",
         "text_quality", "text_profile", "rep_profile",
         "rep_profile_vec", "decontam", "decontam_clean", "pii_scrub",
         "curation_gate", "curation_gate_vec", "para_dedup",
@@ -2183,6 +2230,14 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND c.event_type = 'click' AND p.event_type = 'purchase'
              AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+        """,
+        # stream-static enrich must equal the plain batch join
+        "streaming_enrich": """
+            WITH s AS (SELECT source, count(*) AS n_source_docs
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id AS doc_id, d.source AS source,
+                   d.lang AS lang, s.n_source_docs AS n_source_docs
+            FROM documents d JOIN s USING (source)
         """,
         # streaming twin: SAME oracle as range_pairs — the
         # watermarked stream-stream join must emit exactly the
