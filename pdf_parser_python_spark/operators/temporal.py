@@ -40,12 +40,15 @@ def asof_join(
     ts: str = "ts",
     right_payload: Sequence[str] = ("event_id",),
     suffix: str = "_matched",
+    how: str = "inner",
 ) -> DataFrame:
     """Backward as-of join: each left row picks the LATEST right row
     of the same ``on`` key with ``right.ts <= left.ts`` (inclusive —
     a right row exactly at the probe instant matches, same as DuckDB
-    ``ASOF JOIN ... ON l.ts >= r.ts``). Left rows with no prior right
-    row are dropped (inner semantics).
+    ``ASOF JOIN ... ON l.ts >= r.ts``). With ``how="inner"`` left
+    rows with no prior right row are dropped; ``how="left"`` keeps
+    them with null payload (DuckDB ``ASOF LEFT JOIN``) — same plan,
+    the final filter is simply skipped.
 
     Mechanics: right rows get marker 0, left rows marker 1; the union
     sorts per key by (ts, marker) so at equal ts the right row lands
@@ -81,9 +84,11 @@ def asof_join(
             for c in matched
         ],
     )
-    out = carried.filter(F.col("_m") == 1).filter(
-        F.col(ts + suffix + "_c").isNotNull()
-    )
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be inner|left, got {how!r}")
+    out = carried.filter(F.col("_m") == 1)
+    if how == "inner":
+        out = out.filter(F.col(ts + suffix + "_c").isNotNull())
     keep = [c for c in left.columns]
     return out.select(
         *keep, *[F.col(c + "_c").alias(c) for c in matched]

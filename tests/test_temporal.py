@@ -106,3 +106,32 @@ def test_range_join_plan_is_equi_join(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_left_join_keeps_unmatched(spark):
+    """how="left" keeps probe rows with no prior right row (null
+    payload), and matched rows equal the inner variant exactly."""
+    a = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 10), (3, 2, 100)],
+        "event_id long, user_id long, us long",
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    b = spark.createDataFrame(
+        [(10, 1, 50)],
+        "event_id long, user_id long, us long",
+    ).select("user_id", F.timestamp_micros("us").alias("ts"), "event_id")
+
+    left = {
+        (r.event_id, r.event_id_matched)
+        for r in asof_join(
+            a, b, right_payload=("event_id",), how="left"
+        ).collect()
+    }
+    # id 1 matches (50 <= 100); id 2 predates every right row; user 2
+    # has no right rows at all — both survive with null payload
+    assert left == {(1, 10), (2, None), (3, None)}
+
+    inner = {
+        (r.event_id, r.event_id_matched)
+        for r in asof_join(a, b, right_payload=("event_id",)).collect()
+    }
+    assert inner == {(1, 10)}
