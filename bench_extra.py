@@ -71,15 +71,19 @@ def main() -> None:
     sc = spark.sparkContext
 
     def timed(tag, mk, runs=RUNS, action="noop"):
+        # t0 BEFORE construction: operators that localCheckpoint run
+        # their upstream stages eagerly at DataFrame build (AQE
+        # materializes every stage up to the last exchange inside
+        # Dataset.localCheckpoint), exactly like the frozen bench.py
+        # timed regions, which all construct inside the timer.
         walls = []
         for _ in range(runs):
             sc.setJobDescription(f"r08:{tag}")
+            t0 = time.perf_counter()
+            df = mk()
             if action == "noop":
-                walls.append(round(noop(mk()), 3))
-            else:  # action == "count-ish": caller returns (fn -> float)
-                t0 = time.perf_counter()
-                mk()
-                walls.append(round(time.perf_counter() - t0, 3))
+                df.write.format("noop").mode("overwrite").save()
+            walls.append(round(time.perf_counter() - t0, 3))
             sc.setJobDescription(None)
         print(json.dumps({"phase": tag, "best": min(walls),
                           "walls": walls}), flush=True)

@@ -18,6 +18,18 @@ fixed seeds is the production default; the md5-derived variant is
 reproducible in DuckDB so the driver contract can hash-check these
 operators against a SQL oracle. Both are deterministic across
 partitioning and cluster size.
+
+Round-8 plan-shape note: every pair operator here self-joins a
+signature frame, and Spark does not share subtrees across join sides —
+the round-7 physical plans recomputed the full signature pipeline
+(tokenize → shingle → K hashed mins, the measured dominant cost of the
+family) 2-4× per query, plus the skew-cap count-Window once per side.
+The signature/bucket frames are now cut with a LAZY
+``localCheckpoint`` (:func:`_reuse`) so each is computed exactly once
+per run and every join side reads the materialized blocks. This is
+within-query reuse of a deterministic intermediate — nothing persists
+across invocations (each call builds a fresh checkpoint; results are
+recomputed from the parquet inputs every run).
 """
 
 from __future__ import annotations
@@ -34,6 +46,49 @@ from ..functions.hashing import xx64
 from .textstats import shingles
 
 Hasher = Callable[[Column, int], Column]
+
+
+def _reuse(df: DataFrame) -> DataFrame:
+    """Cut ``df`` with a lazy local checkpoint so a plan that references
+    it from several join sides computes it ONCE (materialized into
+    executor block storage on first use, MEMORY_AND_DISK) instead of
+    re-evaluating the whole subtree per side. Lazy: no job runs at plan
+    build. Per-DataFrame-instance, so nothing is shared across separate
+    invocations — every run still computes from its inputs. Streaming
+    frames pass through unchanged (checkpointing needs a batch RDD).
+
+    Production note (100 TB): local checkpoints live on executor
+    storage and are lost with the executor — the upstream lineage is
+    truncated, so a lost block fails the job and the RETRY recomputes
+    from scratch. For long multi-hour runs prefer committing the
+    signature store to a table (plans/lineage.py DedupJob does exactly
+    that); inside a single query this trade (recompute-on-loss vs
+    guaranteed 2-4× recompute every run) is the right default."""
+    import os
+
+    if df.isStreaming or os.environ.get("PDFP_DEDUP_REUSE", "1") == "0":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
+def _drop_over_cap(df: DataFrame, keys: list[str], max_bucket: int,
+                   count_col: str = "_n") -> DataFrame:
+    """Skew cap: drop every row whose ``keys`` group holds more than
+    ``max_bucket`` rows. Formulated as a tiny over-cap key aggregate +
+    LEFT ANTI join instead of a ``count() OVER (PARTITION BY keys)``
+    window: the window shuffles AND sorts the whole frame just to drop
+    a handful of mega-duplicate groups, while the aggregate is map-side
+    combined and the over-cap key set is bounded by rows/max_bucket
+    (AQE broadcasts it when tiny — the common case — and falls back to
+    a shuffled anti join, with skew-join splitting on the left side,
+    when a pathological corpus makes it large)."""
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias(count_col))
+        .where(F.col(count_col) > max_bucket)
+        .select(*keys)
+    )
+    return df.join(over, keys, "left_anti")
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -175,22 +230,24 @@ def minhash_lsh_pairs(
     join brings it under 1 GB. For mass-duplicate corpora prefer
     :func:`minhash_dedup_clusters`, whose output is linear.
     """
-    sigs = minhash_signatures(documents, text_col, k, shingle_k, hasher)
+    # checkpoint the signatures: the frame feeds BOTH bucket-join sides
+    # and BOTH signature join-backs — without the cut the plan computes
+    # the tokenize→shingle→K-minhash pipeline 4× (r7 plan audit)
+    sigs = _reuse(
+        minhash_signatures(documents, text_col, k, shingle_k, hasher)
+    )
     buckets = minhash_band_buckets(k=k, bands=bands, hasher=hasher, sigs=sigs)
+    slim = buckets.select("doc_id", "band", "bucket")
 
     if max_bucket is not None:
         # skew guard: a mega-cluster of identical docs puts m docs in
         # one band bucket → O(m²) pairs inside the self-join. Buckets
         # beyond the cap are dropped (mass-duplicates belong to
-        # exact_dedup, which runs in one linear shuffle).
-        from pyspark.sql.window import Window
-
-        bn = F.count("*").over(Window.partitionBy("band", "bucket"))
-        buckets = buckets.withColumn("_bn", bn).where(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
-
-    slim = buckets.select("doc_id", "band", "bucket")
+        # exact_dedup, which runs in one linear shuffle). Anti-join
+        # formulation (:func:`_drop_over_cap`) — no whole-frame count
+        # window; re-deriving slim per join side is a cheap explode +
+        # band hash over the checkpointed signatures.
+        slim = _drop_over_cap(slim, ["band", "bucket"], max_bucket)
     a = slim.alias("a")
     b = slim.alias("b")
     cand = (
@@ -268,9 +325,14 @@ def minhash_dedup_clusters(
     at corpus scale nearly every doc is a singleton and emitting them
     would dwarf the real output).
     """
-    buckets = minhash_band_buckets(
-        documents, text_col, k, bands, shingle_k, hasher
-    ).select("doc_id", "band", "bucket")
+    # checkpoint the bucket keys: the frame feeds both the per-bucket
+    # min aggregate AND the star-edge join — without the cut each side
+    # recomputes the whole signature pipeline (r7 plan audit)
+    buckets = _reuse(
+        minhash_band_buckets(
+            documents, text_col, k, bands, shingle_k, hasher
+        ).select("doc_id", "band", "bucket")
+    )
     bmin = (
         buckets.groupBy("band", "bucket")
         .agg(F.min("doc_id").alias("bmin"), F.count("*").alias("n"))
@@ -295,8 +357,12 @@ def minhash_dedup_clusters(
         )
 
     if n_iter is not None:
+        # each hop references `labels` twice (the frame and its own
+        # flipped copy) — checkpoint per hop or the subtree DOUBLES
+        # every iteration (2^n_iter signature pipelines by hop 3)
+        labels = _reuse(labels)
         for _ in range(n_iter):
-            labels = hop_once(labels).drop("_old")
+            labels = _reuse(hop_once(labels).drop("_old"))
         return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
 
     # converge: squaring halves the unresolved chain every round, so
@@ -502,16 +568,19 @@ def simhash_near_dups(
             ]
         )
     )
+    # checkpoint the signatures: both self-join sides (and the cap
+    # aggregate) re-derive from the materialized (doc_id, sig) rows —
+    # otherwise the signature (64 interpreted HOF filters, or the
+    # Arrow kernel, over freshly re-materialized shingle strings) runs
+    # once per side
+    d = _reuse(d)
     keyed = d.select("doc_id", "sig", rot.alias("r")).select(
         "doc_id", "sig", "r.block", "r.prefix"
     )
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        bn = F.count("*").over(Window.partitionBy("block", "prefix"))
-        keyed = keyed.withColumn("_bn", bn).where(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+        # skew cap via over-cap-key anti join — no whole-frame count
+        # window (see _drop_over_cap)
+        keyed = _drop_over_cap(keyed, ["block", "prefix"], max_bucket)
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
@@ -527,9 +596,15 @@ def simhash_near_dups(
                 F.col("a.sig").bitwiseXOR(F.col("b.sig"))
             ).alias("hamming"),
         )
+        # verify BEFORE the pair-dedup shuffle: hamming is a pure
+        # function of the pair, so filter∘dropDuplicates ≡
+        # dropDuplicates∘filter — and candidates from near-identical
+        # prefix buckets mostly fail the exact check, so the dedup
+        # exchange ships a fraction of the rows
+        .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs.where(F.col("hamming") <= max_hamming)
+    return pairs
 
 
 def ngram_jaccard(
@@ -624,17 +699,22 @@ def embedding_near_dups(
         if vectorized
         else lsh_signature(F.col(vec_col), planes)
     )
-    sigs = embeddings.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        sig_expr.alias("sig"),
+    # slim signature frame: (vid, sig) only — the vectors re-attach to
+    # DEDUPLICATED candidate pairs from the base table, so the probe
+    # explode and the self-join never carry the dim-wide arrays
+    # checkpoint the signatures: probe side, bucket side and the cap
+    # aggregate all read the materialized 16-byte rows — otherwise the
+    # signature kernel runs once per join side (r7 plan audit)
+    sigs = _reuse(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            sig_expr.alias("sig"),
+        )
     )
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        sigs = sigs.withColumn(
-            "_bn", F.count("*").over(Window.partitionBy("sig"))
-        ).where(F.col("_bn") <= max_bucket).drop("_bn")
+        # skew cap via over-cap-key anti join — no whole-frame count
+        # window (see _drop_over_cap)
+        sigs = _drop_over_cap(sigs, ["sig"], max_bucket)
     # each vector lands in its own bucket + every 1-bit flip, so any
     # pair within Hamming distance 1 of signatures meets in ≥1 bucket
     probes = F.array_union(
@@ -666,8 +746,13 @@ def embedding_near_dups(
             "vec_b",
         )
     )
+    # the threshold filter references a UDF-derived column; Catalyst
+    # pushes the filter below the projection and EVALUATES THE UDF
+    # TWICE (once under the filter, once in the project — guide §4.4).
+    # Marking the kernel non-deterministic pins a single evaluation
+    # with the filter above it; the values are unchanged.
     cos = (
-        _cosine_pair_udf()(F.col("va"), F.col("vb"))
+        _cosine_pair_udf().asNondeterministic()(F.col("va"), F.col("vb"))
         if vectorized
         else cosine(F.col("va"), F.col("vb"))
     )

@@ -489,9 +489,9 @@ class DedupJob(ExtractionJob):
         max_bucket skew cap, signature-similarity verify — identical
         hashing via the shared combiner."""
         from pyspark.sql import Observation
-        from pyspark.sql.window import Window
 
         from ..functions.hashing import combiner_for
+        from ..operators.dedup import _drop_over_cap
 
         t0 = time.perf_counter()
         pdir = os.path.join(self.pairs_dir, f"band={band}")
@@ -504,10 +504,9 @@ class DedupJob(ExtractionJob):
         )
         slim = sigs.select("doc_id", bucket.alias("bucket"))
         if self.max_bucket is not None:
-            bn = F.count("*").over(Window.partitionBy("bucket"))
-            slim = slim.withColumn("_bn", bn).where(
-                F.col("_bn") <= self.max_bucket
-            ).drop("_bn")
+            # same cap semantics as minhash_lsh_pairs, same r8 shape:
+            # over-cap-key anti join instead of a whole-frame window
+            slim = _drop_over_cap(slim, ["bucket"], self.max_bucket)
         a, b = slim.alias("a"), slim.alias("b")
         cand = (
             a.join(
