@@ -41,8 +41,37 @@ from ..operators import flatten as _flatten
 from . import pipeline
 
 
+#: bucket commits in flight at once (r8, guide §2.6): the driver-side
+#: loop was fully serialized — each bucket is a small job whose tail
+#: leaves most executors idle, so at 16+ buckets the wall was
+#: dominated by per-commit fixed cost. A bounded pool overlaps
+#: independent bucket jobs (FIFO scheduling back-fills the tail of one
+#: job with tasks of the next). Per-bucket commit atomicity is
+#: unchanged: each bucket still writes its data directories first and
+#: appends its lineage row after (under a lock), so kill/resume
+#: semantics are identical. Override with $PDFP_LINEAGE_POOL (set 1 to
+#: restore the serial loop); production guidance: 2-4 on a busy
+#: shared cluster, more only when buckets are small relative to it.
+LINEAGE_POOL = int(os.environ.get("PDFP_LINEAGE_POOL", "8"))
+
+
+def _pooled(fn, units: list):
+    """Run ``fn`` over ``units`` with up to LINEAGE_POOL driver
+    threads; returns the non-None results in submission order (map
+    preserves order, so resume bookkeeping is deterministic)."""
+    if LINEAGE_POOL <= 1 or len(units) <= 1:
+        return [r for u in units if (r := fn(u)) is not None]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=min(LINEAGE_POOL, len(units))
+    ) as pool:
+        return [r for r in pool.map(fn, units) if r is not None]
+
+
 class ExtractionJob:
-    """Driver-side loop: process pending buckets, one commit each."""
+    """Driver-side loop: process pending buckets, one commit each
+    (up to :data:`LINEAGE_POOL` buckets in flight)."""
 
     def __init__(self, out_dir: str, n_buckets: int = 16) -> None:
         self.out_dir = out_dir
@@ -51,6 +80,7 @@ class ExtractionJob:
         self.spans_dir = os.path.join(out_dir, "flat_spans")
         self.raw_dir = os.path.join(out_dir, "raw_questions")
         self.lineage_path = os.path.join(out_dir, "lineage.jsonl")
+        self._lineage_lock = __import__("threading").Lock()
 
     # ── lineage bookkeeping ──────────────────────────────────────────
 
@@ -90,9 +120,13 @@ class ExtractionJob:
         return [b for b in range(self.n_buckets) if b not in done]
 
     def _append_lineage(self, row: dict) -> None:
-        os.makedirs(self.out_dir, exist_ok=True)
-        with open(self.lineage_path, "a") as fh:
-            fh.write(json.dumps(row) + "\n")
+        # one row per line, serialized under a lock: concurrent bucket
+        # commits (LINEAGE_POOL) may finish in any order, and resume
+        # only reads the journal as a set keyed by partition_id
+        with self._lineage_lock:
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(self.lineage_path, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
 
     # ── bucket processing ────────────────────────────────────────────
 
@@ -237,27 +271,38 @@ class ExtractionJob:
             pending = pending[:max_buckets]
         spark = documents.sparkSession
         staged = self._stage_input(documents)
-        processed = []
-        for b in pending:
-            bdir = os.path.join(staged, f"bucket={b}")
-            if not os.path.exists(bdir):  # hash range empty at this size
-                self._append_lineage(self._empty_row(b))
-                processed.append(b)
-                continue
-            docs_b = spark.read.parquet(bdir)
-            n_docs, n_spans_in = self._input_metrics(staged, b)
-            try:
-                row = self._write_bucket(b, docs_b, n_docs, n_spans_in)
-            except Exception as exc:  # never lose prior commits
-                self._append_lineage(self._failed_row(b, exc))
-                continue
-            self._append_lineage(row)
-            processed.append(b)
+        processed = self._commit_buckets(spark, staged, pending)
         return {
             "processed": processed,
             "remaining": self.pending_buckets(),
             "total_buckets": self.n_buckets,
         }
+
+    def _commit_buckets(
+        self, spark: SparkSession, staged: str, pending: list[int]
+    ) -> list[int]:
+        """Commit each pending bucket, up to LINEAGE_POOL at a time
+        (guide §2.6: concurrent driver threads let the next bucket's
+        tasks back-fill executors idled by the current bucket's tail).
+        Commit protocol per bucket is unchanged — data first, lineage
+        row after — and a failure never blocks the other buckets."""
+
+        def commit(b: int) -> int | None:
+            bdir = os.path.join(staged, f"bucket={b}")
+            if not os.path.exists(bdir):  # hash range empty at this size
+                self._append_lineage(self._empty_row(b))
+                return b
+            docs_b = spark.read.parquet(bdir)
+            metrics = self._input_metrics(staged, b)
+            try:
+                row = self._write_bucket(b, docs_b, *metrics)
+            except Exception as exc:  # never lose prior commits
+                self._append_lineage(self._failed_row(b, exc))
+                return None
+            self._append_lineage(row)
+            return b
+
+        return _pooled(commit, pending)
 
     # ── results ──────────────────────────────────────────────────────
 
@@ -452,6 +497,17 @@ class DedupJob(ExtractionJob):
 
     # ── phase 1: per-bucket signatures ───────────────────────────────
 
+    def _empty_row(self, bucket: int) -> dict:
+        return self._row(bucket, "sig", "done")
+
+    def _failed_row(self, bucket: int, exc: Exception) -> dict:
+        return self._row(bucket, "sig", "failed", error=str(exc)[:500])
+
+    def _write_bucket(self, bucket, docs, n_docs, n_tokens_in) -> dict:
+        # the base _commit_buckets pool calls _write_bucket; phase 1
+        # of this job commits signatures
+        return self._write_sig_bucket(bucket, docs, n_docs, n_tokens_in)
+
     def _write_sig_bucket(
         self, bucket: int, docs: DataFrame, n_docs: int, n_tokens_in: int
     ) -> dict:
@@ -565,31 +621,14 @@ class DedupJob(ExtractionJob):
         if max_buckets is not None:
             pending = pending[:max_buckets]
         staged = self._stage_input(documents)
-        processed = []
-        for bk in pending:
-            bdir = os.path.join(staged, f"bucket={bk}")
-            if not os.path.exists(bdir):
-                self._append_lineage(self._row(bk, "sig", "done"))
-                processed.append(bk)
-                continue
-            docs_b = spark.read.parquet(bdir)
-            n_docs, n_tok = self._input_metrics(staged, bk)
-            try:
-                row = self._write_sig_bucket(bk, docs_b, n_docs, n_tok)
-            except Exception as exc:  # never lose prior commits
-                self._append_lineage(
-                    self._row(bk, "sig", "failed",
-                              error=str(exc)[:500])
-                )
-                continue
-            self._append_lineage(row)
-            processed.append(bk)
+        processed = self._commit_buckets(spark, staged, pending)
         bands_done = []
         if not self.pending_buckets():
             pb = self.pending_bands()
             if max_bands is not None:
                 pb = pb[:max_bands]
-            for band in pb:
+
+            def commit_band(band: int) -> int | None:
                 try:
                     row = self._write_band(spark, band)
                 except Exception as exc:
@@ -597,9 +636,13 @@ class DedupJob(ExtractionJob):
                         self._row(band, "band", "failed",
                                   error=str(exc)[:500])
                     )
-                    continue
+                    return None
                 self._append_lineage(row)
-                bands_done.append(band)
+                return band
+
+            # bands are independent jobs over the committed signature
+            # store — same bounded pool as bucket commits (§2.6)
+            bands_done = _pooled(commit_band, pb)
         return {
             "processed": processed,
             "bands_processed": bands_done,
