@@ -827,6 +827,16 @@ def paragraph_dedup(
     ).withColumn(
         "ph", F.when(F.col("para").isNotNull(), hasher(F.col("para"), 0))
     )
+    if not documents.isStreaming:
+        # r8: the winners aggregate AND the marked join both consume
+        # `paras`; without a reuse point Spark evaluates the whole
+        # upstream twice — in a composed pipeline (gate → decontam →
+        # this) that doubles every stage before the dedup. A LAZY
+        # persist (MEMORY_AND_DISK) materializes the exploded
+        # paragraphs once on first action; no job runs at plan build.
+        # Spark's ContextCleaner reclaims the cache when the frame is
+        # garbage-collected.
+        paras = paras.persist()
     winners = (
         paras.where(F.col("para").isNotNull())
         .groupBy("ph")
@@ -839,7 +849,7 @@ def paragraph_dedup(
         )
     )
     marked = paras.join(winners, ["ph", "doc_id", "pos"], "left")
-    return marked.groupBy("doc_id").agg(
+    out = marked.groupBy("doc_id").agg(
         F.first("n_paras").alias("n_paras"),
         F.count("_win").cast("bigint").alias("n_kept"),
         F.concat_ws(
@@ -855,3 +865,10 @@ def paragraph_dedup(
         ).alias("text_deduped"),
         *[F.first(p).alias(p) for p in passthrough],
     )
+    if not documents.isStreaming:
+        # r8: downstream composition (mixture plan + sample, packing's
+        # prefix-sum sides) references this result several times — the
+        # round-7 compose plan re-ran the reassembly aggregate 8×.
+        # Same lazy-persist rationale as `paras` above.
+        out = out.persist()
+    return out
