@@ -83,9 +83,18 @@ def _spans_path(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     cache = f"/tmp/pdfp_exam_spans_v{_sources.EXAM_SPANS_VERSION}_{tag}.parquet"
     if not os.path.exists(cache):
+        # r8 (guide §6): write the corpus as ~2×cores files, not one —
+        # a single parquet file under maxPartitionBytes is ONE scan
+        # split, which serialized the whole zero-shuffle kernel
+        # pipeline onto one task (measured: the sf0.1 table was a
+        # single 3.6 MB file → every extract_* query ran 1-task).
+        # Same rows, same schema — only the file layout changes.
+        n_files = 2 * spark.sparkContext.defaultParallelism
         _sources.exam_spans_from_documents(
             _docs(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(cache + ".tmp")
+        ).repartition(n_files).write.mode("overwrite").parquet(
+            cache + ".tmp"
+        )
         os.rename(cache + ".tmp", cache)
     return cache
 

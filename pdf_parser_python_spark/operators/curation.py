@@ -70,43 +70,93 @@ def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None,
         + [StructField(p, staged.schema[p].dataType) for p in passthrough]
     )
 
+    import re as _re2
+
+    from .repetition import _JAVA_TRIM
+
+    ws_esc = _re.escape(_JAVA_WS)
+    # per-language token-equality counter: a match is a maximal
+    # non-ws run equal to a stopword — (start|ws) lookbehind +
+    # (ws|end) lookahead reproduce java_tokens' boundaries exactly
+    lang_pats = {
+        lg: _re2.compile(
+            f"(?:^|(?<=[{ws_esc}]))"
+            f"(?:{'|'.join(sorted(sw[lg]))})"
+            f"(?=[{ws_esc}]|$)"
+        )
+        for lg in langs_sorted
+    }
+
     def kernel(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            out = {k: [] for k in ("doc_id", "quality", "lang_guess",
-                                   "n_tokens", "_dlf", "_tncf")}
-            for p in passthrough:
-                out[p] = pdf[p]
-            for doc_id, text in zip(pdf["doc_id"], pdf["_text"]):
-                text = text if isinstance(text, str) else ""
-                toks = java_tokens(text, ws_re)
-                nc = len(text)
-                n_alpha = len(non_alpha.sub("", text))
-                n_punct = len(non_punct.sub("", text))
-                n_marks = len(marks.findall(text))
-                nt = len(toks)
-                pts = (40 if nc >= 200 else 25 if nc >= 50
-                       else 10 if nc >= 10 else 0)
-                pts += int(n_alpha * 30 / nc) if nc > 0 else 0
-                pts += 15 if n_marks > 0 else 0
-                pts += 15 if nt >= 20 else 8 if nt >= 5 else 0
-                pts += -20 if (nc > 0 and n_punct * 3 > nc) else 0
-                quality = max(0, min(100, pts))
-                ltoks = java_tokens(text.lower(), ws_re)
-                best = max(
-                    (sum(1 for t in ltoks if t in sw[lg]), lg)
+            # r8 (guide §4.2): quality / language / token counting run
+            # as pandas .str (C regex) + numpy passes over the whole
+            # batch — the per-row Python loop remains only for the
+            # repetition Counters, which need per-doc token streams.
+            # Every formula mirrors the native Column path exactly:
+            # same ASCII classes, trunc division, tie rules.
+            s = pdf["_text"].map(
+                lambda t: t if isinstance(t, str) else ""
+            )
+            nc = s.str.len().to_numpy(np.int64)
+            n_alpha = s.str.count(r"[A-Za-z]").to_numpy(np.int64)
+            n_punct = s.str.count(
+                rf"[^A-Za-z0-9{ws_esc}]"
+            ).to_numpy(np.int64)
+            n_marks = s.str.count(r"[.!?]").to_numpy(np.int64)
+            stripped = s.str.strip(_JAVA_TRIM)
+            nt = stripped.str.count(rf"[^{ws_esc}]+").to_numpy(np.int64)
+            pts = np.select(
+                [nc >= 200, nc >= 50, nc >= 10], [40, 25, 10], 0
+            ).astype(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                alpha_pts = np.where(
+                    nc > 0, n_alpha * 30 / np.maximum(nc, 1), 0.0
+                ).astype(np.int64)  # trunc toward zero == int()
+            pts += alpha_pts
+            pts += np.where(n_marks > 0, 15, 0)
+            pts += np.select([nt >= 20, nt >= 5], [15, 8], 0)
+            pts += np.where((nc > 0) & (n_punct * 3 > nc), -20, 0)
+            quality = np.clip(pts, 0, 100)
+            low = stripped.str.lower()
+            hits = np.stack(
+                [
+                    low.str.count(lang_pats[lg]).to_numpy(np.int64)
                     for lg in langs_sorted
-                )
-                guess = best[1] if best[0] > 0 else "und"
+                ],
+                axis=1,
+            )
+            # ties pick the LARGER language code, exactly like the
+            # native max(struct(hits, lang)): reversed argmax
+            best_idx = hits.shape[1] - 1 - np.argmax(
+                hits[:, ::-1], axis=1
+            )
+            max_hits = hits[np.arange(len(s)), best_idx]
+            langs_arr = np.array(langs_sorted)
+            guess = np.where(
+                max_hits > 0, langs_arr[best_idx], "und"
+            )
+            dlf, tncf = [], []
+            for text in s:
                 rep = _doc_repetition(text, n, line_width, ws_re)
-                out["doc_id"].append(doc_id)
-                out["quality"].append(quality)
-                out["lang_guess"].append(guess)
-                out["n_tokens"].append(nt)
-                out["_dlf"].append(rep[1])
-                out["_tncf"].append(rep[4])
-            yield pd.DataFrame(out)
+                dlf.append(rep[1])
+                tncf.append(rep[4])
+            res = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].reset_index(drop=True),
+                    "quality": quality,
+                    "lang_guess": guess,
+                    "n_tokens": nt,
+                    "_dlf": dlf,
+                    "_tncf": tncf,
+                }
+            )
+            for p in passthrough:
+                res[p] = pdf[p].reset_index(drop=True)
+            yield res
 
     return staged.mapInPandas(kernel, out_schema).select(
         "doc_id",

@@ -61,9 +61,11 @@ def load_fixture(spark: SparkSession, fixture_dir: str) -> DataFrame:
 
 # ── 2. native derivation from testdata documents.parquet ────────────────
 
-#: bump when the synthesis expression changes — cached derivations
-#: (/tmp parquet materializations) are keyed on it
-EXAM_SPANS_VERSION = 3
+#: bump when the synthesis expression OR the cache's file layout
+#: changes — cached derivations (/tmp parquet materializations) are
+#: keyed on it. v4 (r8): same rows, written as ~2×cores files instead
+#: of one so the packed-kernel scan parallelizes (guide §6).
+EXAM_SPANS_VERSION = 4
 
 
 def exam_spans_from_documents(docs: DataFrame, questions_per_doc: int = 8) -> DataFrame:
