@@ -194,7 +194,20 @@ def _doc_repetition(
     """Per-doc repetition metrics (RAW fractions — callers round with
     native F.round so the value path matches the oracle bit-for-bit).
     Returns (n_lines, dup_line_frac, dup_line_char_frac, top_ngram,
-    top_ngram_char_frac, dup_ngram_frac)."""
+    top_ngram_char_frac, dup_ngram_frac).
+
+    r8: lines (chunked mode) and n-grams are counted as token TUPLES
+    instead of joined strings — joining with " " is injective (tokens
+    contain no whitespace), so equality classes, distinct counts and
+    joined lengths (sum of token lengths + k−1 separators) are
+    unchanged, and the dominant cost (building one string per line and
+    per gram) disappears. Only the argmax gram is ever joined, and the
+    (count desc, gram desc) TIE is still broken on the actual joined
+    strings (tuple order can disagree with joined-string order when a
+    token embeds sub-0x20 characters). The lowered token stream reuses
+    the one tokenize pass: no character lowercases to or from a
+    whitespace separator, so per-token lower() equals re-tokenizing
+    text.lower() (Final_Sigma context is intra-token either way)."""
     from collections import Counter
 
     text = text if isinstance(text, str) else ""
@@ -202,24 +215,32 @@ def _doc_repetition(
     if line_width is None:
         lines = [ln.strip(_JAVA_TRIM) for ln in text.split("\n")]
         lines = [ln for ln in lines if ln]
+        line_len = len
     else:
         lines = [
-            " ".join(toks[i : i + line_width])
+            tuple(toks[i : i + line_width])
             for i in range(0, len(toks), line_width)
         ]
+
+        def line_len(t):
+            return sum(map(len, t)) + len(t) - 1
+
     m = len(lines)
     lc = Counter(lines)
-    total = sum(map(len, lines))
-    dupc = sum(len(x) for x in lines if lc[x] > 1)
-    ltoks = java_tokens(text.lower(), ws_re)
-    grams = [
-        " ".join(ltoks[i : i + n]) for i in range(len(ltoks) - n + 1)
-    ]
-    if grams:
-        gc = Counter(grams)
-        bc, bg = max(((c, g) for g, c in gc.items()))
+    total = sum(map(line_len, lines))
+    dupc = sum(line_len(x) for x in lines if lc[x] > 1)
+    ltoks = [t.lower() for t in toks]
+    n_grams = len(ltoks) - n + 1
+    if n_grams > 0:
+        gc = Counter(
+            tuple(ltoks[i : i + n]) for i in range(n_grams)
+        )
+        bc = max(gc.values())
+        bg = max(
+            " ".join(g) for g, c in gc.items() if c == bc
+        )
         tncf = bc * len(bg) / len(text) if text else 0.0
-        dnf = (len(grams) - len(gc)) / len(grams)
+        dnf = (n_grams - len(gc)) / n_grams
     else:
         bg, tncf, dnf = "", 0.0, 0.0
     return (
