@@ -263,6 +263,10 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # NOTE (r8): forcing SHUFFLE_HASH on these join-backs (build side =
+    # signature table) was A/B-measured at parity-to-worse vs the
+    # planner's sort-merge (smj best 24.0 s vs shj 24.6 s interleaved),
+    # so the strategy stays with the planner.
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
     )
@@ -691,8 +695,9 @@ def embedding_near_dups(
     )
 
     dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    n_rows = embeddings.count()
     if n_planes is None:
-        n_planes = near_dup_planes_for(embeddings.count())
+        n_planes = near_dup_planes_for(n_rows)
     planes = hyperplanes(dim, n_planes)
     sig_expr = (
         _lsh_signature_udf(planes)(F.col(vec_col))
@@ -724,10 +729,10 @@ def embedding_near_dups(
     )
     # slim candidate join (same rework as minhash_lsh_pairs): the
     # self-join and pair dedup ship only (vid, bucket/sig) — the dim-
-    # wide vectors join back onto deduplicated pairs afterwards
+    # wide vectors re-attach to deduplicated pairs afterwards
     exploded = sigs.select("vid", F.explode(probes).alias("bucket"))
     a, b = exploded.alias("a"), sigs.select("vid", "sig").alias("b")
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.sig"))
                & (F.col("a.vid") < F.col("b.vid")))
         .select(
@@ -735,7 +740,16 @@ def embedding_near_dups(
             F.col("b.vid").alias("vec_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
-        .join(
+    )
+    # NOTE (r8): a task-side vector-gather rerank (scratch parquet +
+    # searchsorted inside the cosine kernel, guide §8) was built and
+    # A/B-measured here against the join-back shape: values identical,
+    # walls parity-to-worse (gather 35.4 s best vs join 24.9 s best at
+    # 10⁶ vectors / 72.5M candidates) — AQE's handling of the dim-wide
+    # joins is already competitive on this data, so the simpler join
+    # shape stays.
+    cand = (
+        pairs.join(
             embeddings.select(F.col(id_col).alias("vec_a"),
                               F.col(vec_col).alias("va")),
             "vec_a",
