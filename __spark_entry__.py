@@ -513,7 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(
             F.col("doc_id").alias("doc_id"),
             F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
-            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)).cast("bigint").alias("n_sentence_marks"),
+            F.regexp_count("text", F.lit(r"[.!?]")).cast("bigint").alias("n_sentence_marks"),
             F.col("n_chars").alias("n_chars"),
         )
 

@@ -51,11 +51,13 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def pii_count(col: Column, kind: str) -> Column:
-    """Occurrences of one PII kind in the raw text."""
+    """Occurrences of one PII kind in the raw text. ``regexp_count``
+    (r8) runs the same non-overlapping Matcher.find loop as
+    ``size(regexp_extract_all(...))`` but never materializes the match
+    array — identical counts (these patterns cannot match empty), one
+    less per-row allocation per kind."""
     pattern = next(p for k, p, _ in PII_PATTERNS if k == kind)
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast(
-        "bigint"
-    )
+    return F.regexp_count(col, F.lit(pattern)).cast("bigint")
 
 
 def redact(col: Column, kinds: list[str] | None = None) -> Column:

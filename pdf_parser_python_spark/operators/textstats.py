@@ -35,10 +35,11 @@ def token_count(col: Column) -> Column:
 def subword_estimate(col: Column) -> Column:
     """BPE-ish token estimate: word-piece segments + digit/punct runs
     (a cheap deterministic proxy for a real tokenizer's length)."""
-    pieces = F.regexp_extract_all(
-        col, F.lit(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]"), 0
+    # regexp_count (r8): same non-overlapping match count as
+    # size(regexp_extract_all(...)), no match-array materialization
+    return F.regexp_count(
+        col, F.lit(r"[A-Za-z]{1,4}|\d+|[^\sA-Za-z\d]")
     )
-    return F.size(pieces)
 
 
 def lang_scores(col: Column) -> Column:
@@ -82,7 +83,7 @@ def quality_score(col: Column) -> Column:
     n = F.length(col)
     n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
-    n_marks = F.size(F.regexp_extract_all(col, F.lit(r"[.!?]"), 0))
+    n_marks = F.regexp_count(col, F.lit(r"[.!?]"))
     nt = token_count(col)
 
     len_band = (
