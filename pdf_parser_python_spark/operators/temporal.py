@@ -41,6 +41,7 @@ def asof_join(
     right_payload: Sequence[str] = ("event_id",),
     suffix: str = "_matched",
     how: str = "inner",
+    chunk_micros: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row picks the LATEST right row
     of the same ``on`` key with ``right.ts <= left.ts`` (inclusive —
@@ -57,6 +58,21 @@ def asof_join(
     subsequent left row. ONE hash shuffle on ``on`` + a per-key sort;
     window state is one row of payload, so key cardinality (users)
     spreads across executors and no per-row range probe exists.
+
+    **Hot-key salting** (r8, VERDICT r7 watch-item): one pathological
+    key (10⁷ events for one user) serializes its whole timeline onto a
+    single window task. Pass ``chunk_micros`` to partition each key's
+    timeline into fixed time chunks and run the SAME carry in two
+    phases (the chunked-kernel / packing prefix-sum pattern): a window
+    per (key, chunk) — parallel across chunks — then a per-(key,
+    chunk) last-right-state table (tiny: one row per non-empty chunk)
+    whose running carry re-seeds every chunk's rows through an
+    equi-join. Row-identical to the single-window plan whenever no two
+    right rows of a key share an exact timestamp (where the single
+    window's own pick is partition-order-dependent anyway); the
+    default None keeps the exact single-window plan. Pick the chunk so
+    a hot key's densest chunk holds ~10⁵-10⁶ rows; empty chunks cost
+    nothing (the spine only materializes observed (key, chunk) pairs).
     """
     rp = list(right_payload)
     r = right.select(
@@ -72,6 +88,74 @@ def asof_join(
         *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in matched],
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join: how must be inner|left, got {how!r}")
+    keep = [c for c in left.columns]
+
+    if chunk_micros:
+        u = u.withColumn(
+            "_ck",
+            F.floor(F.unix_micros(F.col(ts)) / F.lit(int(chunk_micros))),
+        )
+        w1 = (
+            Window.partitionBy(on, "_ck")
+            .orderBy(F.col(ts).asc(), F.col("_m").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = u.select(
+            "*",
+            *[
+                F.last(c, ignorenulls=True).over(w1).alias(c + "_c")
+                for c in matched
+            ],
+        )
+        # last right state per non-empty chunk: max(struct(ts, ...))
+        # = the newest right row (ties on exact ts break by payload —
+        # the single-window pick is unspecified there, see docstring)
+        chunk_last = (
+            u.where(F.col("_m") == 0)
+            .groupBy(on, "_ck")
+            .agg(
+                F.max(
+                    F.struct(F.col(ts).alias("_t"), *matched)
+                ).alias("_st")
+            )
+        )
+        # chunk spine = every observed (key, chunk); running carry of
+        # the PRECEDING chunks' last state — rows = #non-empty chunks,
+        # orders of magnitude below the event count
+        spine = u.select(on, "_ck").distinct().join(
+            chunk_last, [on, "_ck"], "left"
+        )
+        w2 = (
+            Window.partitionBy(on)
+            .orderBy("_ck")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = spine.select(
+            on,
+            "_ck",
+            F.last("_st", ignorenulls=True).over(w2).alias("_prev"),
+        )
+        out = (
+            carried.filter(F.col("_m") == 1)
+            .join(prev, [on, "_ck"], "left")
+            .select(
+                "*",
+                *[
+                    F.coalesce(F.col(c + "_c"), F.col("_prev")[c]).alias(
+                        c + "_f"
+                    )
+                    for c in matched
+                ],
+            )
+        )
+        if how == "inner":
+            out = out.filter(F.col(ts + suffix + "_f").isNotNull())
+        return out.select(
+            *keep, *[F.col(c + "_f").alias(c) for c in matched]
+        )
+
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col("_m").asc())
@@ -84,12 +168,9 @@ def asof_join(
             for c in matched
         ],
     )
-    if how not in ("inner", "left"):
-        raise ValueError(f"asof_join: how must be inner|left, got {how!r}")
     out = carried.filter(F.col("_m") == 1)
     if how == "inner":
         out = out.filter(F.col(ts + suffix + "_c").isNotNull())
-    keep = [c for c in left.columns]
     return out.select(
         *keep, *[F.col(c + "_c").alias(c) for c in matched]
     )
