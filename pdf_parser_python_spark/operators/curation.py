@@ -48,13 +48,10 @@ def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None,
         StructType,
     )
 
-    from .repetition import _JAVA_WS, _doc_repetition, java_tokens
+    from .repetition import _JAVA_TRIM, _JAVA_WS, _doc_repetition
     from .textstats import STOPWORDS
 
     ws_re = _re.compile(f"[{_re.escape(_JAVA_WS)}]+")
-    non_alpha = _re.compile(r"[^A-Za-z]")
-    non_punct = _re.compile(f"[A-Za-z0-9{_re.escape(_JAVA_WS)}]")
-    marks = _re.compile(r"[.!?]")
     sw = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
     langs_sorted = sorted(sw)
 
@@ -70,16 +67,12 @@ def _gate_metrics_arrow(staged: DataFrame, n: int, line_width: int | None,
         + [StructField(p, staged.schema[p].dataType) for p in passthrough]
     )
 
-    import re as _re2
-
-    from .repetition import _JAVA_TRIM
-
     ws_esc = _re.escape(_JAVA_WS)
     # per-language token-equality counter: a match is a maximal
     # non-ws run equal to a stopword — (start|ws) lookbehind +
     # (ws|end) lookahead reproduce java_tokens' boundaries exactly
     lang_pats = {
-        lg: _re2.compile(
+        lg: _re.compile(
             f"(?:^|(?<=[{ws_esc}]))"
             f"(?:{'|'.join(sorted(sw[lg]))})"
             f"(?=[{ws_esc}]|$)"
