@@ -91,6 +91,167 @@ def _drop_over_cap(df: DataFrame, keys: list[str], max_bucket: int,
     return df.join(over, keys, "left_anti")
 
 
+# ── round 8: vectorized minhash fold ────────────────────────────────────
+# Bit-exact numpy replica of the XXH64 primitives Spark's `xxhash64`
+# expression applies to int64 lanes (XXH64.hashLong / hashInt in
+# catalyst; the open xxHash spec). The HOF formulation in
+# `minhash_signatures` evaluates `xxhash64(h, lit(s))` =
+# hashInt(s, hashLong(h, 42)) once per (shingle, seed) — K interpreted
+# expression evals per shingle, each redoing the seed-independent
+# hashLong. The Arrow kernel computes hashLong(h, 42) ONCE per shingle
+# and runs the K seeded hashInt passes as vectorized uint64 arithmetic.
+# Exactness is asserted by tests/test_dedup_kernel.py (differential vs
+# the HOF path, including empty/short/duplicate-shingle docs).
+
+_XXP1 = np.uint64(0x9E3779B185EBCA87)
+_XXP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXP3 = np.uint64(0x165667B19E3779F9)
+_XXP4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXP5 = np.uint64(0x27D4EB2F165667C5)
+
+
+def _xxh_rotl(x, r: int):
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh_fmix(h):
+    h = h ^ (h >> np.uint64(33))
+    h = h * _XXP2
+    h = h ^ (h >> np.uint64(29))
+    h = h * _XXP3
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _xxh_long(x, seed):
+    """XXH64 of one 8-byte (int64) lane — XXH64.hashLong."""
+    h = seed + (_XXP5 + np.uint64(8))
+    h = h ^ (_xxh_rotl(x * _XXP2, 31) * _XXP1)
+    h = _xxh_rotl(h, 27) * _XXP1 + _XXP4
+    return _xxh_fmix(h)
+
+
+def _xxh_int(i: int, seed):
+    """XXH64 of one 4-byte (int32) lane — XXH64.hashInt; ``i`` is a
+    plan-time constant (the minhash seed / trailing 0 literal)."""
+    c = np.uint64(((i & 0xFFFFFFFF) * 0x9E3779B185EBCA87) % (1 << 64))
+    h = seed + (_XXP5 + np.uint64(4))
+    h = h ^ c
+    h = _xxh_rotl(h, 23) * _XXP2 + _XXP3
+    return _xxh_fmix(h)
+
+
+def _minhash_sig_kernel(k: int, shingle_k: int):
+    """mapInArrow kernel: (doc_id, th: array<long>) → (doc_id,
+    signature: array<long> of K). Reproduces the HOF fold bit-exactly:
+    shingle base hash = hashInt(0, chained hashLong over `shingle_k`
+    consecutive token hashes) (= ``xxhash64(h_i.., lit(0))``), short
+    docs chain over the tokens they have (xxhash64's skip-null fold),
+    and signature[s] = signed min over shingles of
+    hashInt(s, hashLong(base, 42)) (= ``xxhash64(base, lit(s))``).
+    array_distinct is deliberately skipped — a min over the multiset
+    equals the min over the set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        # uint64 wraparound is the algorithm; numpy warns on scalar
+        # overflow (the n=0 constant chain) — silence locally
+        with np.errstate(over="ignore"):
+            yield from _fn(batches)
+
+    def _fn(batches):
+        for batch in batches:
+            names = batch.schema.names
+            arr = batch.column(names.index("th"))
+            n_rows = len(arr)
+            if n_rows == 0:
+                continue
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False)
+            flat = flat.astype(np.int64, copy=False).view(np.uint64)
+            off = np.concatenate(([0], np.cumsum(lens)))
+
+            # per-doc base-hash counts: sliding windows, floor 1
+            m = np.maximum(lens - shingle_k + 1, 1)
+            bstart = np.concatenate(([0], np.cumsum(m)))
+            base = np.empty(int(bstart[-1]), dtype=np.uint64)
+
+            reg = lens >= shingle_k
+            if reg.any():
+                mr = m[reg]
+                src0 = np.repeat(off[:-1][reg], mr)
+                dst0 = np.repeat(bstart[:-1][reg], mr)
+                within = np.arange(mr.sum()) - np.repeat(
+                    np.cumsum(mr) - mr, mr
+                )
+                chain = np.uint64(42)
+                for j in range(shingle_k):
+                    chain = _xxh_long(flat[src0 + within + j], chain)
+                base[dst0 + within] = _xxh_int(0, chain)
+            for n_short in range(shingle_k):
+                sel = lens == n_short
+                if not sel.any():
+                    continue
+                chain = np.uint64(42)
+                for j in range(n_short):
+                    chain = _xxh_long(flat[off[:-1][sel] + j], chain)
+                base[bstart[:-1][sel]] = _xxh_int(0, chain)
+
+            hl = _xxh_long(base, np.uint64(42))
+            seg = bstart[:-1]
+            sig = np.empty((n_rows, k), dtype=np.int64)
+            # in-place hashInt over two reused buffers: the seed loop
+            # dominates the kernel's memory traffic (k passes over all
+            # shingles), so avoid allocating ~10 temporaries per pass
+            h = np.empty_like(hl)
+            t = np.empty_like(hl)
+            p5_4 = np.uint64(0x27D4EB2F165667C9)  # PRIME64_5 + 4
+            for s in range(k):
+                c = np.uint64(((s & 0xFFFFFFFF) * 0x9E3779B185EBCA87)
+                              % (1 << 64))
+                # h = rotl((hl + P5+4) ^ s·P1, 23) * P2 + P3; fmix(h)
+                np.add(hl, p5_4, out=h)
+                np.bitwise_xor(h, c, out=h)
+                np.left_shift(h, np.uint64(23), out=t)
+                np.right_shift(h, np.uint64(41), out=h)
+                np.bitwise_or(h, t, out=h)
+                np.multiply(h, _XXP2, out=h)
+                np.add(h, _XXP3, out=h)
+                np.right_shift(h, np.uint64(33), out=t)
+                np.bitwise_xor(h, t, out=h)
+                np.multiply(h, _XXP2, out=h)
+                np.right_shift(h, np.uint64(29), out=t)
+                np.bitwise_xor(h, t, out=h)
+                np.multiply(h, _XXP3, out=h)
+                np.right_shift(h, np.uint64(32), out=t)
+                np.bitwise_xor(h, t, out=h)
+                sig[:, s] = np.minimum.reduceat(h.view(np.int64), seg)
+            sig_col = pa.ListArray.from_arrays(
+                pa.array(np.arange(n_rows + 1, dtype=np.int32) * k),
+                pa.array(sig.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("doc_id")), sig_col],
+                names=["doc_id", "signature"],
+            )
+
+    return fn
+
+
+def _minhash_sig_arrow(d: DataFrame, k: int, shingle_k: int) -> DataFrame:
+    """Apply :func:`_minhash_sig_kernel` to a (doc_id, th) frame."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType([
+        d.schema["doc_id"],
+        StructField("signature", ArrayType(LongType(), True), True),
+    ])
+    return d.mapInArrow(_minhash_sig_kernel(k, shingle_k), schema)
+
+
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Digest-grouped duplicate clusters; keeper = min doc_id."""
     d = documents.select("doc_id", F.sha2(F.col(text_col), 256).alias("digest"))
@@ -125,6 +286,8 @@ def minhash_signatures(
     over all tokens; null lanes are skipped by both combiners, so the
     construction is well-defined down to empty text.
     """
+    import os
+
     from ..functions.hashing import combiner_for
     from .textstats import tokens
 
@@ -133,6 +296,19 @@ def minhash_signatures(
     d = documents.select(
         "doc_id", F.transform(toks, lambda t: hasher(t, 0)).alias("th")
     )
+    # r8: on the production xx64 path the shingle-combine + K-seed
+    # min-fold runs as a vectorized Arrow kernel — bit-exact with the
+    # HOF fold below (see _minhash_sig_kernel), ~K× less hashing work
+    # because the seed-independent hashLong is computed once per
+    # shingle. The md5/generic hashers (the DuckDB-oracled queries)
+    # keep the HOF path untouched. PDFP_MINHASH_KERNEL=0 restores the
+    # HOF fold for A/B and differential testing.
+    if (
+        hasher is xx64
+        and not documents.isStreaming
+        and os.environ.get("PDFP_MINHASH_KERNEL", "1") != "0"
+    ):
+        return _minhash_sig_arrow(d, k, shingle_k)
     th = F.col("th")
     n = F.size(th)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))

@@ -1,0 +1,88 @@
+"""Round 8: the vectorized minhash signature kernel must be BIT-EXACT
+with the HOF fold it replaces (operators/dedup.py `_minhash_sig_kernel`
+vs the `xxhash64` HOF path behind PDFP_MINHASH_KERNEL=0) — the xx64
+signatures feed the bench family's pair counts and planted recall, so
+any divergence would silently change results."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_parser_python_spark.operators import dedup
+
+
+def _sigs(df, flag, **kw):
+    os.environ["PDFP_MINHASH_KERNEL"] = flag
+    try:
+        out = dedup.minhash_signatures(df, **kw)
+        return {r["doc_id"]: list(r["signature"]) for r in out.collect()}
+    finally:
+        os.environ.pop("PDFP_MINHASH_KERNEL", None)
+
+
+TRICKY = [
+    (0, ""), (1, None), (2, "   \t\n "), (3, "one"), (4, "two words"),
+    (5, "three words here"), (6, "a b c d e f g h i j"),
+    (7, "dup dup dup dup dup dup"),                 # duplicate shingles
+    (8, "Ünïcodé tökens é́ combining marks"),  # multi-byte UTF-8
+    (9, "tabs\tand\nnewlines   multi  spaced"),
+    (10, "word " * 300),                            # one repeated shingle
+    (11, "中文 日本語 한국어 mixed latin"),
+    (12, "punct, marks! (parens) [brackets] {braces} 100% $5.00"),
+    (13, "CASE folding MiXeD Case TEXT"),
+]
+
+
+def test_kernel_bit_exact_vs_hof(spark):
+    df = spark.createDataFrame(TRICKY, "doc_id long, text string")
+    old = _sigs(df, "0")
+    new = _sigs(df, "1")
+    assert old == new
+
+
+def test_kernel_bit_exact_on_generated_corpus(spark):
+    from pdf_parser_python_spark.sources import textgen
+
+    docs = textgen.dedup_bench_corpus(spark, 2000)
+    old = _sigs(docs, "0")
+    new = _sigs(docs, "1")
+    assert old == new
+
+
+@pytest.mark.parametrize("k,shingle_k", [(8, 2), (16, 5)])
+def test_kernel_bit_exact_nondefault_params(spark, k, shingle_k):
+    df = spark.createDataFrame(TRICKY, "doc_id long, text string")
+    old = _sigs(df, "0", k=k, shingle_k=shingle_k)
+    new = _sigs(df, "1", k=k, shingle_k=shingle_k)
+    assert old == new
+
+
+def test_md5_hasher_keeps_hof_path(spark):
+    """The DuckDB-oracled md5 path must not route through the kernel:
+    its plan stays Python-free."""
+    from pdf_parser_python_spark.functions.hashing import md5_64
+
+    df = spark.createDataFrame(TRICKY, "doc_id long, text string")
+    plan = dedup.minhash_signatures(df, hasher=md5_64)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "MapInArrow" not in plan and "EvalPython" not in plan
+
+
+def test_xx64_pairs_identical_across_paths(spark):
+    """End-to-end: LSH pairs from the kernel path equal the HOF path's
+    on a corpus with planted near-dups."""
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix tokens run {i % 7} " + "body text " * 20)
+         for i in range(200)],
+        "doc_id long, text string",
+    ).withColumn("text", F.concat("text", F.lit(" tail")))
+    os.environ["PDFP_MINHASH_KERNEL"] = "0"
+    try:
+        old = {(r["doc_a"], r["doc_b"]) for r in
+               dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()}
+    finally:
+        os.environ.pop("PDFP_MINHASH_KERNEL", None)
+    new = {(r["doc_a"], r["doc_b"]) for r in
+           dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b").collect()}
+    assert old == new and len(new) > 0
