@@ -252,6 +252,248 @@ def _minhash_sig_arrow(d: DataFrame, k: int, shingle_k: int) -> DataFrame:
     return d.mapInArrow(_minhash_sig_kernel(k, shingle_k), schema)
 
 
+# ── round 8: fused simhash signature kernel ─────────────────────────────
+# The vectorized simhash path built every shingle STRING in JVM
+# expressions (concat_ws over slices + array_distinct + per-shingle
+# xxhash64) and then shipped the hash arrays to the majority-vote
+# pandas UDF. The decomposition at 1M docs: 16 of the 24 s was the
+# string construction, ~8 s the second Arrow crossing — the hashing
+# itself was free. This kernel ships the TOKEN arrays once and does
+# everything else vectorized: shingle bytes via one gather, exact
+# per-doc distinct on (doc, len, bytes), a bit-exact numpy replica of
+# XXH64 over variable-length byte rows (stripe/word/4-byte/tail
+# phases, matching catalyst's XXH64.hashUnsafeBytes + the trailing
+# hashInt(0) for the seed literal), and the 64-bit majority vote —
+# one Python crossing, no shingle strings ever materialized JVM-side.
+# Exactness: tests/test_dedup_kernel.py differential vs the HOF-built
+# hashes + _simhash_majority_udf path across length classes.
+
+
+def _xxh_bytes_rows(mat: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized XXH64 over variable-length byte rows.
+
+    ``mat`` is (M, W8) uint8, zero-padded, W8 a multiple of 8;
+    ``lens`` the true byte length per row. Returns uint64 hashes —
+    bit-exact with catalyst XXH64.hashUnsafeBytes(row, seed)."""
+    m_rows = len(lens)
+    words = np.ascontiguousarray(mat).view("<u8")  # (M, W8//8)
+    u4 = mat.view("<u4")                           # (M, W8//4)
+    ncols_w = words.shape[1]
+    ncols_4 = u4.shape[1]
+    wflat = words.reshape(-1)
+    u4flat = u4.reshape(-1)
+    bflat = mat.reshape(-1)
+    ncols_b = mat.shape[1]
+    rows = np.arange(m_rows)
+    seed = np.uint64(seed)
+
+    lens = lens.astype(np.int64)
+    nstripes = np.where(lens >= 32, lens // 32, 0)
+    h = np.full(m_rows, seed + _XXP5, dtype=np.uint64)
+    long_rows = nstripes > 0
+    if long_rows.any():
+        def _round(acc, lane):
+            return _xxh_rotl(acc + lane * _XXP2, 31) * _XXP1
+
+        v = [np.full(m_rows, s, dtype=np.uint64) for s in (
+            seed + _XXP1 + _XXP2, seed + _XXP2, seed,
+            seed - _XXP1)]
+        for t in range(int(nstripes.max())):
+            msk = nstripes > t
+            r = rows[msk]
+            base_w = r * ncols_w + 4 * t  # int64 index math
+            for lane in range(4):
+                v[lane][msk] = _round(
+                    v[lane][msk], wflat[base_w + lane]
+                )
+        acc = (_xxh_rotl(v[0], 1) + _xxh_rotl(v[1], 7)
+               + _xxh_rotl(v[2], 12) + _xxh_rotl(v[3], 18))
+        for lane in range(4):
+            acc = (acc ^ _round(np.uint64(0), v[lane])) * _XXP1 + _XXP4
+        h[long_rows] = acc[long_rows]
+    h = h + lens.view(np.uint64).astype(np.uint64)
+
+    rem = lens - 32 * nstripes
+    nw = rem // 8
+    wstart = 4 * nstripes
+    for w in range(int(nw.max()) if m_rows else 0):
+        msk = nw > w
+        r = rows[msk]
+        k1 = wflat[(wstart[msk] + w + r * ncols_w).astype(np.int64)]
+        hh = h[msk]
+        hh = hh ^ (_xxh_rotl(k1 * _XXP2, 31) * _XXP1)
+        h[msk] = _xxh_rotl(hh, 27) * _XXP1 + _XXP4
+    rem4 = rem - 8 * nw
+    has4 = rem4 >= 4
+    if has4.any():
+        r = rows[has4]
+        off4 = (32 * nstripes[has4] + 8 * nw[has4]) // 4 + r * ncols_4
+        lane4 = u4flat[off4.astype(np.int64)].astype(np.uint64)
+        hh = h[has4]
+        hh = hh ^ (lane4 * _XXP1)
+        h[has4] = _xxh_rotl(hh, 23) * _XXP2 + _XXP3
+    tail = rem4 - 4 * has4
+    toff = 32 * nstripes + 8 * nw + 4 * has4
+    for b in range(3):
+        msk = tail > b
+        if not msk.any():
+            continue
+        r = rows[msk]
+        byte = bflat[(toff[msk] + b + r * ncols_b).astype(np.int64)]
+        hh = h[msk]
+        hh = hh ^ (byte.astype(np.uint64) * _XXP5)
+        h[msk] = _xxh_rotl(hh, 11) * _XXP1
+    return _xxh_fmix(h)
+
+
+def _string_array_parts(tb):
+    """(starts, lens, data-with-one-space-appended, space_pos) for an
+    arrow String/LargeString array of non-null elements."""
+    import pyarrow as pa
+
+    odt = np.int64 if pa.types.is_large_string(tb.type) else np.int32
+    bufs = tb.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt)[tb.offset: tb.offset + len(tb) + 1]
+    offs = offs.astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    data2 = np.concatenate([data, np.frombuffer(b" ", dtype=np.uint8)])
+    return offs[:-1], np.diff(offs), data2, len(data)
+
+
+def _simhash_sig_kernel(shingle_k: int = 3):
+    """mapInArrow kernel: (doc_id, toks: array<string>) → (doc_id,
+    sig: long). sig = 64-bit SimHash majority over the DISTINCT
+    k-word shingles' ``xxhash64(shingle, lit(0))`` — bit-identical to
+    the shingles()+HOF-hash+_simhash_majority_udf pipeline (same
+    2·ones ≥ n rule, i=63 sign bit, short docs one all-token shingle).
+    Null text maps to the empty-shingle signature, exactly like
+    ``shingles(null)`` → ``[""]`` (concat_ws skips a null array)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        with np.errstate(over="ignore"):
+            yield from _fn(batches)
+
+    def _fn(batches):
+        for batch in batches:
+            names = batch.schema.names
+            arr = batch.column(names.index("toks"))
+            n_rows = len(arr)
+            if n_rows == 0:
+                continue
+            # null token arrays become n=0 docs → the empty-string
+            # shingle, matching shingles(null) = [""] on the HOF path
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            lens = np.nan_to_num(lens, nan=0).astype(np.int64)
+            tb = pc.list_flatten(arr)
+            tstart, tlen, data2, space_pos = _string_array_parts(tb)
+            dstart = np.concatenate(([0], np.cumsum(lens)))
+
+            # shingle spine: first-token index A + token count tc
+            sk = shingle_k
+            m = np.where(lens >= sk, lens - sk + 1, 1)
+            bstart = np.concatenate(([0], np.cumsum(m)))
+            M = int(bstart[-1])
+            docof = np.repeat(np.arange(n_rows), m)
+            within = np.arange(M) - np.repeat(bstart[:-1], m)
+            A = dstart[docof] + within
+            tc = np.where(lens[docof] >= sk, sk, lens[docof])
+
+            # shingle byte lengths: window token bytes + separators
+            slen = np.maximum(tc - 1, 0)
+            for r in range(sk):
+                sel = tc > r
+                slen[sel] += tlen[A[sel] + r]
+
+            # segment table: token, space, token, ... per shingle
+            ns = np.maximum(2 * tc - 1, 0)
+            sstart = np.concatenate(([0], np.cumsum(ns)))
+            S = int(sstart[-1])
+            shof = np.repeat(np.arange(M), ns)
+            wq = np.arange(S) - np.repeat(sstart[:-1], ns)
+            tok_abs = A[shof] + wq // 2
+            is_tok = (wq % 2) == 0
+            seg_src = np.where(is_tok, tstart[tok_abs], space_pos)
+            seg_len = np.where(is_tok, tlen[tok_abs], 1)
+
+            # one gather builds every shingle's bytes
+            total = int(seg_len.sum())
+            gsrc = np.repeat(seg_src, seg_len)
+            gwith = np.arange(total) - np.repeat(
+                np.cumsum(seg_len) - seg_len, seg_len
+            )
+            content = data2[gsrc + gwith]
+
+            w8 = max(int(-(-max(int(slen.max()), 1) // 8) * 8), 8)
+            mat = np.zeros((M, w8), dtype=np.uint8)
+            rowidx = np.repeat(np.arange(M), slen)
+            colidx = np.arange(total) - np.repeat(
+                np.cumsum(slen) - slen, slen
+            )
+            mat[rowidx, colidx] = content
+
+            # exact per-doc distinct on (doc, len, padded bytes) —
+            # zero padding cannot collide because len is in the key;
+            # one contiguous blob per row, compared bytewise
+            blob = np.empty((M, 16 + w8), dtype=np.uint8)
+            blob[:, :8] = docof.astype("<i8").view(np.uint8).reshape(M, 8)
+            blob[:, 8:16] = slen.astype("<i8").view(np.uint8).reshape(M, 8)
+            blob[:, 16:] = mat
+            key = np.ascontiguousarray(blob).view(
+                np.dtype((np.void, 16 + w8)))[:, 0]
+            _, keep = np.unique(key, return_index=True)
+            keep.sort()
+            docof, slen, mat = docof[keep], slen[keep], mat[keep]
+
+            hashes = _xxh_int(0, _xxh_bytes_rows(mat, slen, 42))
+
+            # majority vote per doc (rows stay doc-contiguous) —
+            # unpack/pack the 64 bit lanes as uint8 instead of a
+            # (M, 64) int64 matrix: little-endian byte view + bitorder
+            # "little" makes column c exactly bit c of the uint64
+            bounds = np.searchsorted(docof, np.arange(n_rows))
+            nsh = np.diff(np.concatenate((bounds, [len(docof)])))
+            bits = np.unpackbits(
+                hashes.view(np.uint8).reshape(-1, 8)
+                if hashes.dtype.byteorder in ("=", "<", "|")
+                else hashes.astype("<u8").view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little",
+            )
+            counts = np.add.reduceat(bits, bounds, axis=0,
+                                     dtype=np.int64)
+            maj = counts * 2 >= nsh[:, None]
+            sig = np.packbits(
+                maj, axis=1, bitorder="little"
+            ).view("<u8").reshape(-1).view(np.int64)
+
+            sig_col = pa.array(sig)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(names.index("doc_id")), sig_col],
+                names=["doc_id", "sig"],
+            )
+
+    return fn
+
+
+def _simhash_sig_arrow(documents: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, sig) via :func:`_simhash_sig_kernel` — tokens come from
+    the JVM (lower + split parity), everything after crosses once."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from .textstats import tokens
+
+    d = documents.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    schema = StructType([
+        d.schema["doc_id"],
+        StructField("sig", LongType(), True),
+    ])
+    return d.mapInArrow(_simhash_sig_kernel(), schema)
+
+
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Digest-grouped duplicate clusters; keeper = min doc_id."""
     d = documents.select("doc_id", F.sha2(F.col(text_col), 256).alias("digest"))
@@ -722,12 +964,25 @@ def simhash_near_dups(
     magnitude faster at corpus scale. The native path stays the default
     because it is the zero-Python, DuckDB-oracled form."""
     if vectorized:
-        hashes = F.transform(
-            shingles(F.col(text_col)), lambda s: hasher(s, 0)
-        )
-        d = documents.select(
-            "doc_id", _simhash_majority_udf()(hashes).alias("sig")
-        )
+        import os
+
+        if (
+            hasher is xx64
+            and not documents.isStreaming
+            and os.environ.get("PDFP_SIMHASH_KERNEL", "1") != "0"
+        ):
+            # r8: fused tokens→signature Arrow kernel — no JVM shingle
+            # strings, one Python crossing (see _simhash_sig_kernel);
+            # bit-identical signatures, differential-tested. md5 (the
+            # oracled queries) keeps the HOF-hash + majority-UDF path.
+            d = _simhash_sig_arrow(documents, text_col)
+        else:
+            hashes = F.transform(
+                shingles(F.col(text_col)), lambda s: hasher(s, 0)
+            )
+            d = documents.select(
+                "doc_id", _simhash_majority_udf()(hashes).alias("sig")
+            )
     else:
         d = documents.select(
             "doc_id", simhash(F.col(text_col), hasher=hasher).alias("sig")
