@@ -207,7 +207,19 @@ def _doc_repetition(
     token embeds sub-0x20 characters). The lowered token stream reuses
     the one tokenize pass: no character lowercases to or from a
     whitespace separator, so per-token lower() equals re-tokenizing
-    text.lower() (Final_Sigma context is intra-token either way)."""
+    text.lower() (Final_Sigma context is intra-token either way).
+
+    r8, measured and REJECTED: a fully batch-vectorized twin
+    (dictionary-encoded vocab, lexsort run-length counts, UTF-8-byte
+    argmax ranking — bit-identical on a 1M-doc sweep) only wins on
+    highly repetitive corpora; on ordinary 32-token docs the common
+    all-counts-1 case makes every gram an argmax candidate and the
+    batch machinery loses to this loop (pinned 1-core, 50k ordinary
+    docs: 1.8 s here vs 2.6-3.2 s batched; through the bench gate at
+    200k docs: 27 s vs 54 s). Shipping JVM token arrays instead of
+    tokenizing here was also measured 2-3x slower — the Arrow→pandas
+    list<string> conversion materializes every token as a Python
+    object. ~36 µs/doc is this stage's floor at these doc sizes."""
     from collections import Counter
 
     text = text if isinstance(text, str) else ""
