@@ -1170,8 +1170,21 @@ def embedding_near_dups(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
     )
+    # no pair dedup needed (unlike the multi-band minhash/simhash
+    # joins): a's probes are sig plus every 1-bit flip — n_planes+1
+    # DISTINCT values (array_union dedups, and two flips / a flip and
+    # the identity always differ in ≥1 bit) — while b contributes its
+    # single sig, so a given (vec_a, vec_b) matches in AT MOST ONE
+    # bucket, and vec_a < vec_b excludes the mirrored orientation.
+    # The dropDuplicates this replaces was a full exchange + hash
+    # aggregate over every candidate pair (72.5M rows at 10⁶ vectors)
+    # for zero removed rows. PDFP_EMB_PAIR_DEDUP=1 restores it (only
+    # needed if an input ever violates the unique-id contract).
+    import os as _os
+
+    if _os.environ.get("PDFP_EMB_PAIR_DEDUP", "0") == "1":
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
     # NOTE (r8): a task-side vector-gather rerank (scratch parquet +
     # searchsorted inside the cosine kernel, guide §8) was built and
     # A/B-measured here against the join-back shape: values identical,

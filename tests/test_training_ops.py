@@ -155,6 +155,39 @@ def test_embedding_near_dups(spark):
     assert not any(a >= 50 and b >= 50 for a, b in pairs)
 
 
+def test_embedding_pair_stream_unique_without_dedup(spark, monkeypatch):
+    """r8: the candidate self-join meets each pair in at most one bucket
+    (probes = sig + distinct 1-bit flips vs a single sig on the build
+    side), so the final-pair dropDuplicates was removed. Assert the
+    default pair stream is duplicate-free — including hamming-0 pairs
+    (identical clones) and hamming-1 neighbors — and identical to the
+    restored-dedup path (PDFP_EMB_PAIR_DEDUP=1)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = (
+        [(1, base), (2, list(base)), (3, list(base))]  # identical clones
+        + [(10 + i, [x + rng.uniform(-0.004, 0.004) for x in base])
+           for i in range(6)]  # near-neighbors (sig hamming 0/1 mix)
+        + [(50 + i, [rng.uniform(-1, 1) for _ in range(16)])
+           for i in range(40)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        out = dedup.embedding_near_dups(emb, threshold=0.97, n_planes=10)
+        return sorted((r.vec_a, r.vec_b, r.cosine) for r in out.collect())
+
+    monkeypatch.delenv("PDFP_EMB_PAIR_DEDUP", raising=False)
+    new = run()
+    keys = [(a, b) for a, b, _ in new]
+    assert len(keys) == len(set(keys)), "duplicate candidate pair leaked"
+    assert (1, 2, 1.0) in new and (1, 3, 1.0) in new and (2, 3, 1.0) in new
+    monkeypatch.setenv("PDFP_EMB_PAIR_DEDUP", "1")
+    assert run() == new
+
+
 # ── vectorized (Arrow/numpy) twins vs native, + cluster assignment ─────
 
 
