@@ -71,6 +71,46 @@ def _reuse(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _reuse_count(df: DataFrame) -> int | None:
+    """Row count of a :func:`_reuse`-cut frame — the job triggers (or
+    reads) the checkpoint materialization every consumer shares, so it
+    costs a block scan, not a recompute of the signature pipeline.
+    Returns None when the cut is disabled (streaming input or
+    ``PDFP_DEDUP_REUSE=0``), so size-aware planning stands down rather
+    than paying a full re-evaluation just to learn a row count."""
+    import os
+
+    if df.isStreaming or os.environ.get("PDFP_DEDUP_REUSE", "1") == "0":
+        return None
+    return df.count()
+
+
+def _bcast_small(df: DataFrame, est_bytes: int | None) -> DataFrame:
+    """Hint ``df`` broadcast when its estimated built size is provably
+    under the cap — guide §3.1's "broadcast the side that fits",
+    decided from an EXACT row count the operator already holds (the
+    planner's own estimates are way off after checkpoints/kernels, so
+    AQE never converts these joins itself). Used on the pair-family
+    re-attachment joins, where the alternative is shuffling the
+    candidate-pair stream (tens of millions of rows) once per join
+    while the signature/vector table is a few hundred MB.
+
+    ``est_bytes=None`` (unknown count) keeps the planner's choice, as
+    does ``PDFP_PAIR_BCAST=0``. ``PDFP_PAIR_BCAST_MB`` (default 512)
+    caps the built size — the guide's "a few hundred MB is usually
+    fine" zone; a corpus past the cap (any real 100-TB run) falls back
+    to the planner's shuffled join automatically, so the knob is
+    scale-adaptive, not tuned to local mode."""
+    import os
+
+    if est_bytes is None or os.environ.get("PDFP_PAIR_BCAST", "1") == "0":
+        return df
+    cap_mb = int(os.environ.get("PDFP_PAIR_BCAST_MB", "512"))
+    if est_bytes <= cap_mb << 20:
+        return F.broadcast(df)
+    return df
+
+
 def _drop_over_cap(df: DataFrame, keys: list[str], max_bucket: int,
                    count_col: str = "_n") -> DataFrame:
     """Skew cap: drop every row whose ``keys`` group holds more than
@@ -684,12 +724,27 @@ def minhash_lsh_pairs(
     # NOTE (r8): forcing SHUFFLE_HASH on these join-backs (build side =
     # signature table) was A/B-measured at parity-to-worse vs the
     # planner's sort-merge (smj best 24.0 s vs shj 24.6 s interleaved),
-    # so the strategy stays with the planner.
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("signature").alias("sig_a")
+    # so the shuffled strategy stays with the planner. The r8 bonus
+    # pass adds the strategy the planner CANNOT pick on its own: when
+    # the signature table provably fits (exact row count off the
+    # checkpoint × K-long row width), broadcast it, so the candidate
+    # pair stream — the big side by orders of magnitude — is never
+    # shuffled for the re-attachment (guide §3.1).
+    n_docs = _reuse_count(sigs)
+    sig_bytes = None if n_docs is None else n_docs * (56 + 8 * k)
+    sa = _bcast_small(
+        sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("signature").alias("sig_a"),
+        ),
+        sig_bytes,
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("signature").alias("sig_b")
+    sb = _bcast_small(
+        sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("signature").alias("sig_b"),
+        ),
+        sig_bytes,
     )
     sim = (
         F.size(
@@ -1162,7 +1217,15 @@ def embedding_near_dups(
     # self-join and pair dedup ship only (vid, bucket/sig) — the dim-
     # wide vectors re-attach to deduplicated pairs afterwards
     exploded = sigs.select("vid", F.explode(probes).alias("bucket"))
-    a, b = exploded.alias("a"), sigs.select("vid", "sig").alias("b")
+    # r8 bonus pass (guide §3.1): the build side of the bucket join is
+    # the slim (vid, sig) table — 16 payload bytes/row, size known
+    # EXACTLY from the count above — while the probe side is the
+    # (n_planes+1)-way explode. Broadcasting the slim side when it
+    # fits keeps the exploded probe stream map-side (no exchange, no
+    # sort of n·(P+1) rows); past the cap the planner's shuffled join
+    # returns untouched.
+    b_sigs = _bcast_small(sigs.select("vid", "sig"), n_rows * 48)
+    a, b = exploded.alias("a"), b_sigs.alias("b")
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.sig"))
                & (F.col("a.vid") < F.col("b.vid")))
@@ -1192,15 +1255,29 @@ def embedding_near_dups(
     # 10⁶ vectors / 72.5M candidates) — AQE's handling of the dim-wide
     # joins is already competitive on this data, so the simpler join
     # shape stays.
+    # r8 bonus pass (guide §3.1): the re-attachment sides are the
+    # whole embedding table projected to (id, vec) — dim·8 bytes/row,
+    # size known exactly — while the candidate pair stream is tens of
+    # millions of rows; broadcasting the vectors when they fit means
+    # the pair stream flows map-side through BOTH attachments instead
+    # of being exchanged once per join. Past the cap (any real corpus)
+    # the planner's shuffled joins return untouched.
+    vec_bytes = n_rows * (dim * 8 + 56)
     cand = (
         pairs.join(
-            embeddings.select(F.col(id_col).alias("vec_a"),
-                              F.col(vec_col).alias("va")),
+            _bcast_small(
+                embeddings.select(F.col(id_col).alias("vec_a"),
+                                  F.col(vec_col).alias("va")),
+                vec_bytes,
+            ),
             "vec_a",
         )
         .join(
-            embeddings.select(F.col(id_col).alias("vec_b"),
-                              F.col(vec_col).alias("vb")),
+            _bcast_small(
+                embeddings.select(F.col(id_col).alias("vec_b"),
+                                  F.col(vec_col).alias("vb")),
+                vec_bytes,
+            ),
             "vec_b",
         )
     )

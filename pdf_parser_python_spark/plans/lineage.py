@@ -576,10 +576,25 @@ class DedupJob(ExtractionJob):
             )
             .dropDuplicates(["doc_a", "doc_b"])
         )
-        sa = sigs.select(F.col("doc_id").alias("doc_a"),
-                         F.col("signature").alias("sig_a"))
-        sb = sigs.select(F.col("doc_id").alias("doc_b"),
-                         F.col("signature").alias("sig_b"))
+        # r8 bonus pass: same size-aware broadcast as
+        # minhash_lsh_pairs' join-backs (guide §3.1) — the committed
+        # signature store's EXACT row count is already in the journal
+        # (phase-1 rows_emitted), so the decision costs nothing; past
+        # the cap the planner's shuffled join returns untouched.
+        from ..operators.dedup import _bcast_small
+
+        n_sigs = sum(
+            r.get("rows_emitted", 0)
+            for r in self.lineage_rows()
+            if r["status"] == "done" and r.get("phase") == "sig"
+        )
+        sig_bytes = n_sigs * (56 + 8 * self.k)
+        sa = _bcast_small(
+            sigs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("signature").alias("sig_a")), sig_bytes)
+        sb = _bcast_small(
+            sigs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("signature").alias("sig_b")), sig_bytes)
         sim = (
             F.size(
                 F.filter(
